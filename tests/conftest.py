@@ -1,0 +1,25 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Mirrors the driver's multichip dry-run environment
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, JAX_PLATFORMS=cpu) so
+sharding tests run anywhere without real TPU chips — and so the suite doesn't
+round-trip every tiny test kernel through the tunneled single-chip TPU
+(which is ~50x slower per compile than local CPU).
+
+The axon sitecustomize registers the TPU PJRT plugin at interpreter boot, but
+backend *initialization* is lazy, so overriding jax_platforms here (before any
+jax.devices() call) still wins.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,260 @@
+"""Typed configuration for the TPU-native TextSLAM framework.
+
+The reference scatters constants across the code (see SURVEY.md §5-config:
+ORB counts at src/tracking.cc:29-33, pyramid at :35-36, KF policy at :50-51,
+match thresholds at :21-23, BA weights/chi2 in src/optimizer.cc, per-experiment
+loop thresholds in src/loopClosing.cc:25-42, camera yaml in src/setting.cc:33-89).
+Here every tunable lives in one frozen dataclass so jitted code can close over
+static values and experiments stay reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+
+class Experiment(enum.IntEnum):
+    """Experiment ids (reference: src/setting.h:238-243)."""
+
+    GENERAL_MOTION = 0
+    INDOOR_LOOP_A = 1  # small indoor loop
+    INDOOR_LOOP_L = 2  # large indoor loop
+    OUTDOOR = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics + radial-tangential distortion (src/setting.cc:44-79)."""
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    rgb: bool = True
+
+    @property
+    def K(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float64,
+        )
+
+    @property
+    def dist(self):
+        import numpy as np
+
+        return np.array([self.k1, self.k2, self.p1, self.p2, self.k3], dtype=np.float64)
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidConfig:
+    """Image pyramid for direct text alignment (src/tracking.cc:35-36: 8 levels, x2)."""
+
+    levels: int = 8
+    scale: float = 2.0
+    # levels actually used by the optimizers (src/optimizer.cc: PyrIniBA uses 3..0,
+    # PoseOptim/LocalBA/ThetaOptim use 2..0, Landmarkers uses 3..0)
+    init_ba_levels: Tuple[int, ...] = (3, 2, 1, 0)
+    pose_levels: Tuple[int, ...] = (2, 1, 0)
+    ba_levels: Tuple[int, ...] = (2, 1, 0)
+    landmark_levels: Tuple[int, ...] = (3, 2, 1, 0)
+    theta_levels: Tuple[int, ...] = (2, 1, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ORBConfig:
+    """ORB feature extraction (src/tracking.cc:29-39, src/ORBextractor.cc)."""
+
+    n_features: int = 1000
+    n_features_init: int = 3000  # bootstrap extractor uses 3000 features
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    fast_threshold: int = 20
+    fast_threshold_min: int = 7
+    patch_size: int = 31
+    half_patch: int = 15
+    edge_threshold: int = 19
+    # capacity of the padded keypoint pools (per frame, all levels fused)
+    max_keypoints: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching thresholds (src/tracking.cc:21-23, :1045-1273)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    histo_length: int = 30
+    nn_ratio_init: float = 0.9
+    search_radius_3d: float = 18.0  # px window for SearchFrom3D
+    search_window_init: float = 100.0  # two-view bootstrap window
+    search_window_triangulate: float = 80.0  # SearchForTriangular (x1.2 per octave)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """LM/BA constants (src/optimizer.cc; SURVEY.md §2.3)."""
+
+    weight_scene: float = 1.0 / 1.2  # px sigma^-1  (src/optimizer.cc:1087)
+    weight_text: float = 1.0 / 0.2  # normalized-intensity sigma^-1 (:1088)
+    huber_scene_init: float = 3.0
+    huber_scene_pose: float = math.sqrt(5.991)
+    huber_text: float = 3.0
+    huber_rho: float = math.sqrt(5.991)
+    huber_theta: float = 2.0
+    huber_sim3: float = math.sqrt(10.0)
+    chi2_mono_pose: float = 12.25
+    chi2_mono_pose_lowtext: float = 16.25  # +4 when <50 text residuals (:1238-1257)
+    chi2_mono_global: float = 18.0
+    chi2_text_levels: Tuple[float, ...] = (0.95, 0.5, 0.5, 0.5)  # level 0..3 gates
+    chi2_text_landmark: float = 1.5
+    iters_per_level: int = 10
+    iters_landmark: int = 50
+    iters_sim3: int = 20
+    iters_pose_graph: int = 20
+    ba_window: int = 20  # sliding window KF count (src/tracking.cc:828-842)
+    # LM damping schedule
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.1
+    lm_max_lambda: float = 1e8
+    lm_min_lambda: float = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    """Text-object pipeline (src/tracking.cc, src/mapText.cc)."""
+
+    neighbour_pattern: int = 8  # INTERVAL8 (src/tool.cc:1540-1568)
+    zncc_min: float = 0.1  # TextJudge gate (src/tracking.cc:1966-1988)
+    cos_orientation_min: float = 0.5  # CheckOrientation (src/tool.cc:1393-1407)
+    cos_promote: float = 0.9  # IMMATURE->GOOD theta stability (src/tracking.cc:1920-1962)
+    min_obs_promote: int = 4
+    in_image_margin: float = 6.0  # box projection must be in-image +-6px
+    # semantic demotion thresholds {2, 0.9, 40} (src/tracking.cc:2307-2340)
+    sem_min_good: int = 2
+    sem_bad_ratio: float = 0.9
+    sem_min_total: int = 40
+    # padded capacities
+    max_objects: int = 512
+    max_features_per_level: int = 256  # direct features per object per pyramid level
+    max_box_pixels: int = 4096  # level-0 in-box pixels for ZNCC
+    max_detections_per_frame: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing (src/loopClosing.cc:25-42, SURVEY.md §3.5)."""
+
+    min_kfs_before_loop: int = 20
+    min_kfs_between_loops: int = 20
+    score_thresh_indoor: float = 0.51
+    score_thresh_outdoor: float = 0.35
+    top_candidates: int = 10
+    min_inliers: int = 25
+    min_scene_inliers_outdoor: int = 10
+    sim3_ransac_iters: int = 200
+    sim3_inlier_err2: float = 45.0  # px^2 symmetric reprojection (Sim3Solver.cc:195-221)
+    sim3_refine_err: float = 4.0  # px after Ceres-style refine (src/optimizer.cc:706-729)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Map capacities (padded SoA pools; reference sizes covis to
+    ceil(numImages/ceil(fps/3)), src/system.cc:23-29)."""
+
+    max_keyframes: int = 512
+    max_points: int = 32768
+    max_texts: int = 512
+    max_obs_per_kf: int = 2048
+    local_map_kf_cap: int = 80  # src/tracking.cc:738
+
+
+@dataclasses.dataclass(frozen=True)
+class TextSLAMConfig:
+    experiment: Experiment = Experiment.GENERAL_MOTION
+    no_text: bool = False  # `Exp noText` ablation (src/setting.h:246)
+    read_path: str = ""
+    read_list: str = "Imlist.txt"
+    camera: CameraConfig = dataclasses.field(
+        default_factory=lambda: CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0)
+    )
+    pyramid: PyramidConfig = dataclasses.field(default_factory=PyramidConfig)
+    orb: ORBConfig = dataclasses.field(default_factory=ORBConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    seed: int = 0  # deterministic runs (reference: srand(0), SeedRandOnce(0))
+
+    @property
+    def loop_score_thresh(self) -> float:
+        if self.experiment == Experiment.OUTDOOR:
+            return self.loop.score_thresh_outdoor
+        return self.loop.score_thresh_indoor
+
+    @property
+    def kf_min_gap(self) -> int:
+        """KF policy gap = fps/2 frames (src/tracking.cc:873-898)."""
+        return int(self.camera.fps // 2)
+
+
+def load_yaml(path: str) -> TextSLAMConfig:
+    """Load a reference-style experiment yaml (src/setting.cc:33-89).
+
+    The reference yaml is an OpenCV FileStorage file with keys
+    `Exp name/noText/read path/read list`, `Camera.fx/.fy/...`. We parse it
+    with cv2.FileStorage for byte-compatibility with the reference configs.
+    """
+    import cv2
+
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+    if not fs.isOpened():
+        raise FileNotFoundError(f"cannot open yaml config: {path}")
+
+    def fnode(name, default=0.0):
+        n = fs.getNode(name)
+        return default if n.empty() else n.real()
+
+    def snode(name, default=""):
+        n = fs.getNode(name)
+        return default if n.empty() else n.string()
+
+    cam = CameraConfig(
+        fx=fnode("Camera.fx"),
+        fy=fnode("Camera.fy"),
+        cx=fnode("Camera.cx"),
+        cy=fnode("Camera.cy"),
+        k1=fnode("Camera.k1"),
+        k2=fnode("Camera.k2"),
+        p1=fnode("Camera.p1"),
+        p2=fnode("Camera.p2"),
+        k3=fnode("Camera.k3"),
+        width=int(fnode("Camera.width", 640)),
+        height=int(fnode("Camera.height", 480)),
+        fps=fnode("Camera.fps", 30.0),
+        rgb=bool(int(fnode("Camera.RGB", 1))),
+    )
+    cfg = TextSLAMConfig(
+        experiment=Experiment(int(fnode("Exp name", 0))),
+        no_text=bool(int(fnode("Exp noText", 0))),
+        read_path=snode("Exp read path"),
+        read_list=snode("Exp read list", "Imlist.txt"),
+        camera=cam,
+    )
+    fs.release()
+    return cfg

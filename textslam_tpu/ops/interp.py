@@ -1,0 +1,54 @@
+"""Bilinear sampling — the single most reused primitive of the system.
+
+Every photometric residual evaluates bilinear intensity + gradient samples at
+projected subpixel positions (reference: GetIntenBilinterPtr src/tool.cc:1150
+and include/ModelTool.hpp:233-329). Here it is one batched gather that XLA
+vectorizes; values outside the image return 0 with a False validity mask so
+padded residual slots die cleanly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear(img: jnp.ndarray, uv: jnp.ndarray, valid_shape=None):
+    """Sample img [H, W] or [H, W, C] at uv [..., 2] (u=x=col, v=y=row).
+
+    Returns (values [..., (C)], mask [...]); mask False outside
+    [0, W-1]x[0, H-1] (or outside `valid_shape=(h, w)` for packed padded
+    levels), and such samples are exactly 0.
+    """
+    H, W = img.shape[0], img.shape[1]
+    h = H if valid_shape is None else valid_shape[0]
+    w = W if valid_shape is None else valid_shape[1]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    mask = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)
+    u = u.clip(0.0, w - 1)
+    v = v.clip(0.0, h - 1)
+    u0 = jnp.floor(u).astype(jnp.int32).clip(0, W - 2)
+    v0 = jnp.floor(v).astype(jnp.int32).clip(0, H - 2)
+    du = (u - u0)[..., None] if img.ndim == 3 else (u - u0)
+    dv = (v - v0)[..., None] if img.ndim == 3 else (v - v0)
+    i00 = img[v0, u0]
+    i01 = img[v0, u0 + 1]
+    i10 = img[v0 + 1, u0]
+    i11 = img[v0 + 1, u0 + 1]
+    top = i00 + du * (i01 - i00)
+    bot = i10 + du * (i11 - i10)
+    out = top + dv * (bot - top)
+    m = mask[..., None] if img.ndim == 3 else mask
+    return jnp.where(m, out, 0.0), mask
+
+
+def bilinear_packed(pyr_data: jnp.ndarray, pyr_shapes: jnp.ndarray, level, uv: jnp.ndarray):
+    """Sample a packed pyramid (see ops.pyramid.pack_pyramid) at a given level.
+
+    pyr_data [L, Hmax, Wmax, 3], level scalar int, uv [..., 2] in level-l
+    pixel coords. Returns (intensity, gx, gy, mask)."""
+    img = pyr_data[level]
+    h = pyr_shapes[level, 0]
+    w = pyr_shapes[level, 1]
+    vals, mask = bilinear(img, uv, valid_shape=(h, w))
+    return vals[..., 0], vals[..., 1], vals[..., 2], mask
