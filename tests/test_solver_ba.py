@@ -1,0 +1,156 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from textslam_tpu.solver import ba
+from textslam_tpu.geometry import se3
+from textslam_tpu.geometry.quaternion import qexp
+
+RNG = np.random.default_rng(4)
+FX, FY, CX, CY = 400.0, 400.0, 320.0, 240.0
+
+
+def make_ba_problem(n_kf=4, n_pts=60, pose_noise=0.02, rho_noise=0.05, px_noise=0.0):
+    """Synthetic scene: points hosted in KF0, observed by all KFs."""
+    # ground-truth poses: camera moving along x
+    poses_gt = []
+    for k in range(n_kf):
+        q = np.array(qexp(jnp.asarray(RNG.normal(0, 0.02, 3))))
+        t = np.array([-0.3 * k, 0.0, 0.0]) + RNG.normal(0, 0.01, 3)
+        poses_gt.append(np.concatenate([q, t]))
+    poses_gt = jnp.asarray(np.stack(poses_gt), dtype=jnp.float32)
+
+    # points: hosted in KF0 with ray + true inverse depth
+    uv_host = np.stack([RNG.uniform(50, 590, n_pts), RNG.uniform(50, 430, n_pts)], -1)
+    ray = np.concatenate([(uv_host - [CX, CY]) / [FX, FY], np.ones((n_pts, 1))], -1)
+    depth = RNG.uniform(3.0, 8.0, n_pts)
+    rho_gt = jnp.asarray(1.0 / depth, dtype=jnp.float32)
+    P_kf0 = ray / rho_gt[:, None].__array__()
+    # world points: KF0 pose maps world->cam0
+    P_w = np.array(se3.apply(se3.inverse(poses_gt[0]), jnp.asarray(P_kf0, dtype=jnp.float32)))
+
+    # observations in all KFs
+    tgt, host, point, ray_o, uv_o = [], [], [], [], []
+    for k in range(n_kf):
+        p_c = np.array(se3.apply(poses_gt[k], jnp.asarray(P_w, dtype=jnp.float32)))
+        uv = np.stack([FX * p_c[:, 0] / p_c[:, 2] + CX, FY * p_c[:, 1] / p_c[:, 2] + CY], -1)
+        uv += RNG.normal(0, px_noise, uv.shape)
+        inb = (uv[:, 0] > 0) & (uv[:, 0] < 640) & (uv[:, 1] > 0) & (uv[:, 1] < 480)
+        for i in np.nonzero(inb)[0]:
+            tgt.append(k)
+            host.append(0)
+            point.append(i)
+            ray_o.append(ray[i])
+            uv_o.append(uv[i])
+    O = len(tgt)
+    scene = ba.SceneObs(
+        tgt=jnp.asarray(tgt, dtype=jnp.int32),
+        host=jnp.asarray(host, dtype=jnp.int32),
+        host_frozen_pose=jnp.tile(se3.identity()[None], (O, 1)),
+        host_in_window=jnp.ones(O, dtype=bool),
+        point=jnp.asarray(point, dtype=jnp.int32),
+        ray=jnp.asarray(np.stack(ray_o), dtype=jnp.float32),
+        uv=jnp.asarray(np.stack(uv_o), dtype=jnp.float32),
+        weight=jnp.full((O,), 1.0 / 1.2, dtype=jnp.float32),
+        valid=jnp.ones(O, dtype=bool),
+    )
+
+    # perturb initial estimates (KF0, KF1 fixed like the reference)
+    poses0 = np.array(poses_gt).copy()
+    for k in range(2, n_kf):
+        dq = np.array(qexp(jnp.asarray(RNG.normal(0, pose_noise, 3))))
+        poses0[k] = np.array(
+            se3.compose(se3.pack(jnp.asarray(dq), jnp.asarray(RNG.normal(0, pose_noise, 3))), jnp.asarray(poses_gt[k]))
+        )
+    rho0 = np.array(rho_gt) * (1.0 + RNG.normal(0, rho_noise, n_pts))
+
+    problem = ba.BAProblem(
+        poses=jnp.asarray(poses0, dtype=jnp.float32),
+        pose_free=jnp.asarray([False, False] + [True] * (n_kf - 2)),
+        rho=jnp.asarray(rho0, dtype=jnp.float32),
+        rho_free=jnp.ones(n_pts, dtype=bool),
+        theta=jnp.zeros((1, 3), dtype=jnp.float32),
+        theta_free=jnp.zeros(1, dtype=bool),
+        scene=scene,
+        text=None,
+        images=None,
+        fx=FX, fy=FY, cx=CX, cy=CY,
+    )
+    return problem, poses_gt, rho_gt
+
+
+def pose_err(got, want):
+    dq = float(jnp.abs((got[:4] * want[:4]).sum()))
+    dt = float(jnp.linalg.norm(got[4:] - want[4:]))
+    return 1.0 - dq, dt
+
+
+class TestSceneBA:
+    def test_converges_to_ground_truth(self):
+        problem, poses_gt, rho_gt = make_ba_problem()
+        state = ba.solve_ba(problem, n_iters=15)
+        assert float(state.cost) < 1e-3
+        for k in range(2, poses_gt.shape[0]):
+            eq, et = pose_err(state.poses[k], poses_gt[k])
+            assert eq < 1e-6, f"kf{k} rot err {eq}"
+            assert et < 1e-3, f"kf{k} trans err {et}"
+        np.testing.assert_allclose(np.array(state.rho), np.array(rho_gt), rtol=1e-3)
+
+    def test_fixed_poses_stay_fixed(self):
+        problem, poses_gt, _ = make_ba_problem()
+        state = ba.solve_ba(problem, n_iters=5)
+        np.testing.assert_array_equal(np.array(state.poses[0]), np.array(problem.poses[0]))
+        np.testing.assert_array_equal(np.array(state.poses[1]), np.array(problem.poses[1]))
+
+    def test_with_noise_and_outliers(self):
+        problem, poses_gt, rho_gt = make_ba_problem(px_noise=0.5)
+        # corrupt 5% of observations
+        uv = np.array(problem.scene.uv)
+        n_bad = len(uv) // 20
+        uv[:n_bad] += RNG.uniform(20, 60, (n_bad, 2))
+        problem = problem._replace(scene=problem.scene._replace(uv=jnp.asarray(uv)))
+        state = ba.solve_ba(problem, n_iters=15)
+        for k in range(2, poses_gt.shape[0]):
+            eq, et = pose_err(state.poses[k], poses_gt[k])
+            assert et < 0.02, f"kf{k} trans err {et}"
+
+    def test_pose_only_optimization(self):
+        """PoseOptim shape: single free pose, frozen landmarks hosted outside."""
+        problem, poses_gt, rho_gt = make_ba_problem(n_kf=3)
+        s = problem.scene
+        # keep only observations from KF2; make it slot 0 of a K=1 window
+        keep = np.array(s.tgt) == 2
+        host_pose = np.tile(np.array(poses_gt[0]), (int(keep.sum()), 1))
+        scene = ba.SceneObs(
+            tgt=jnp.zeros(int(keep.sum()), dtype=jnp.int32),
+            host=jnp.ones(int(keep.sum()), dtype=jnp.int32),  # K=1 -> dump slot
+            host_frozen_pose=jnp.asarray(host_pose, dtype=jnp.float32),
+            host_in_window=jnp.zeros(int(keep.sum()), dtype=bool),
+            point=s.point[keep],
+            ray=s.ray[keep],
+            uv=s.uv[keep],
+            weight=s.weight[keep],
+            valid=s.valid[keep],
+        )
+        # perturbed start
+        dq = np.array(qexp(jnp.asarray([0.03, -0.02, 0.01])))
+        start = np.array(
+            se3.compose(se3.pack(jnp.asarray(dq), jnp.asarray([0.05, -0.04, 0.06])), poses_gt[2])
+        )
+        prob = ba.BAProblem(
+            poses=jnp.asarray(start, dtype=jnp.float32)[None],
+            pose_free=jnp.ones(1, dtype=bool),
+            rho=rho_gt,  # exact rho, frozen: isolates pose estimation
+            rho_free=jnp.zeros_like(problem.rho_free),
+            theta=jnp.zeros((1, 3), dtype=jnp.float32),
+            theta_free=jnp.zeros(1, dtype=bool),
+            scene=scene,
+            text=None,
+            images=None,
+            fx=FX, fy=FY, cx=CX, cy=CY,
+        )
+        state = ba.solve_ba(prob, n_iters=10)
+        eq, et = pose_err(state.poses[0], poses_gt[2])
+        assert et < 1e-3 and eq < 1e-6
+        # frozen rho untouched
+        np.testing.assert_array_equal(np.array(state.rho), np.array(rho_gt))

@@ -86,13 +86,19 @@ def qfrom_matrix(R: jnp.ndarray) -> jnp.ndarray:
 
 def qexp(omega: jnp.ndarray) -> jnp.ndarray:
     """so(3) tangent [..., 3] -> unit quaternion. exp(omega/2) convention:
-    qexp(omega) rotates by angle |omega| about omega/|omega|."""
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    qexp(omega) rotates by angle |omega| about omega/|omega|.
+
+    Gradient-safe at omega = 0 (the point every manifold Jacobian is taken
+    at): the norm is computed through a `where`-guarded square so jacfwd
+    never differentiates sqrt at 0."""
+    sq = (omega * omega).sum(axis=-1, keepdims=True)
+    small = sq < 1e-12
+    sq_safe = jnp.where(small, 1.0, sq)
+    theta = jnp.sqrt(sq_safe)
     half = 0.5 * theta
-    # sinc-safe
-    small = theta < 1e-8
-    k = jnp.where(small, 0.5 + theta**2 / 48.0, jnp.sin(half) / theta.clip(EPS))
-    w = jnp.cos(half)
+    # series: sin(t/2)/t = 1/2 - t^2/48 + ...; cos(t/2) = 1 - t^2/8 + ...
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / theta)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
     return jnp.concatenate([w, k * omega], axis=-1)
 
 
@@ -101,10 +107,11 @@ def qlog(q: jnp.ndarray) -> jnp.ndarray:
     q = jnp.where(q[..., 0:1] < 0, -q, q)  # take w>=0 branch
     w = q[..., 0:1].clip(-1.0, 1.0)
     v = q[..., 1:4]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    sq = (v * v).sum(axis=-1, keepdims=True)
+    small = sq < 1e-12
+    vn = jnp.sqrt(jnp.where(small, 1.0, sq))
     theta = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-8
-    k = jnp.where(small, 2.0 / w.clip(EPS), theta / vn.clip(EPS))
+    k = jnp.where(small, 2.0 / w.clip(EPS), theta / vn)
     return k * v
 
 
