@@ -1,0 +1,118 @@
+"""Synthetic rendered sequences with exact ground truth.
+
+World = textured planes; each frame is rendered by exact homography warps of
+the plane textures (cv2 on host, test-only), so ORB features are genuinely
+matchable across frames and ATE can be checked against analytic poses.
+Also used by bench.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from textslam_tpu.geometry.quaternion import qexp, qto_matrix
+from textslam_tpu.geometry import se3
+
+FX, FY, CX, CY = 420.0, 420.0, 320.0, 240.0
+W, H = 640, 480
+K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1.0]])
+
+
+def make_texture(rng, size=1024, blobs=4000):
+    """High-frequency matte texture with corners at many scales."""
+    tex = np.full((size, size), 128.0, np.float32)
+    xs = rng.integers(6, size - 6, blobs)
+    ys = rng.integers(6, size - 6, blobs)
+    for x, y in zip(xs, ys):
+        w = int(rng.integers(3, 14))
+        h = int(rng.integers(3, 14))
+        val = float(rng.uniform(0, 255))
+        tex[y : y + h, x : x + w] = val
+    return cv2.GaussianBlur(tex, (3, 3), 0.8)
+
+
+class PlaneWorld:
+    """A set of textured planes z = const in world coordinates."""
+
+    def __init__(self, seed=0, planes=None):
+        rng = np.random.default_rng(seed)
+        if planes is None:
+            # (depth, px/m, mask region or None) — depth diversity conditions
+            # the rotation/translation ambiguity of shallow scenes
+            planes = [
+                (7.0, 12.0, None),
+                (4.0, 8.0, (260, 760, 200, 640)),
+                (2.8, 6.0, (120, 420, 560, 980)),
+                (5.0, 9.0, (600, 950, 80, 560)),
+            ]
+        self.planes = []  # (Z0, scale px/m, texture, mask)
+        for i, spec in enumerate(planes):
+            z0, scale, region = spec
+            tex = make_texture(rng)
+            if region is None:
+                mask = np.ones_like(tex)
+            else:
+                mask = np.zeros_like(tex)
+                y0, y1, x0, x1 = region
+                mask[y0:y1, x0:x1] = 1.0
+            self.planes.append((z0, scale * 40.0, tex, mask))
+
+    def render(self, pose_cw: np.ndarray) -> np.ndarray:
+        """Render the world for camera pose Tcw [7] (wxyz + t)."""
+        q, t = pose_cw[:4], pose_cw[4:]
+        R = np.array(qto_matrix(jnp.asarray(q)))
+        img = np.zeros((H, W), np.float32)
+        alpha = np.zeros((H, W), np.float32)
+        # paint far-to-near so nearer planes occlude correctly
+        for z0, s, tex, mask in sorted(self.planes, key=lambda p: -p[0]):
+            th, tw = tex.shape
+            r1, r2, r3 = R[:, 0], R[:, 1], R[:, 2]
+            col3 = r3 * z0 + t - r1 * tw / (2 * s) - r2 * th / (2 * s)
+            Hm = K @ np.stack([r1 / s, r2 / s, col3], axis=1)
+            warped = cv2.warpPerspective(tex, Hm, (W, H), flags=cv2.INTER_LINEAR)
+            wmask = cv2.warpPerspective(mask, Hm, (W, H), flags=cv2.INTER_NEAREST)
+            img = np.where(wmask > 0, warped, img)
+            alpha = np.maximum(alpha, wmask)
+        return img
+
+
+def camera_path(n_frames: int, kind="lateral"):
+    """Ground-truth Tcw poses [N, 7]."""
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        if kind == "lateral":
+            t_wc = np.array([1.2 * s, 0.15 * np.sin(2 * np.pi * s), 0.3 * s])
+            w = np.array([0.0, -0.25 * s, 0.02 * np.sin(2 * np.pi * s)])
+        elif kind == "forward":
+            t_wc = np.array([0.2 * s, 0.0, 1.5 * s])
+            w = np.array([0.0, 0.05 * s, 0.0])
+        else:
+            raise ValueError(kind)
+        q = np.array(qexp(jnp.asarray(w)))
+        # Tcw = inverse of Twc(q, t_wc)
+        Twc = np.concatenate([q, t_wc]).astype(np.float32)
+        poses.append(np.array(se3.inverse(jnp.asarray(Twc))))
+    return np.stack(poses)
+
+
+def render_sequence(n_frames=40, seed=0, kind="lateral"):
+    world = PlaneWorld(seed=seed)
+    poses = camera_path(n_frames, kind)
+    frames = [world.render(p) for p in poses]
+    return frames, poses
+
+
+def ate_rmse(est_ts, est_poses_cw, gt_poses_cw, gt_stride=1):
+    """Sim3-aligned ATE RMSE of camera centers (evo_ape -s protocol)."""
+    from textslam_tpu.geometry import sim3
+
+    est_C = np.array(se3.apply(se3.inverse(jnp.asarray(est_poses_cw)), jnp.zeros((len(est_poses_cw), 3))))
+    gt_idx = [int(round(t)) for t in est_ts]
+    gt_C = np.array(se3.apply(se3.inverse(jnp.asarray(gt_poses_cw[gt_idx])), jnp.zeros((len(gt_idx), 3))))
+    S = sim3.horn_alignment(jnp.asarray(gt_C), jnp.asarray(est_C))
+    aligned = np.array(sim3.apply(S, jnp.asarray(est_C)))
+    err = np.linalg.norm(aligned - gt_C, axis=-1)
+    return float(np.sqrt((err**2).mean()))

@@ -1,0 +1,94 @@
+"""Per-frame construction: ORB keypoints + direct-alignment pyramid.
+
+Reference frame ctor (src/frame.cc:38-64) builds: 8-level x2 pyramid + Sobel,
+scene ORB + per-text-box ORB, per-text TextFeature pyramids, and a 64x48
+feature grid. Here the pyramid and ORB extraction are jitted device kernels;
+the "grid" never materializes — windowed matching is a dense mask
+(ops.matching.window_mask).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import TextSLAMConfig
+from ..ops import orb, pyramid
+
+
+@dataclasses.dataclass
+class TextDetection:
+    """One precomputed OCR detection (quad + recognized string).
+
+    Mirrors TextInfo (src/setting.h:98-104): mean string, score, language
+    (classified from UTF-8 byte lengths, src/tool.cc:163-215)."""
+
+    quad: np.ndarray  # [4, 2] float32 pixel corners
+    text: str
+    score: float
+    lang: int = 0  # 0 latin-ish, 1 CJK-ish
+
+
+@dataclasses.dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    shape: tuple  # (H, W)
+    # padded keypoint SoA (numpy mirrors)
+    kp_uv: np.ndarray
+    kp_level: np.ndarray
+    kp_angle: np.ndarray
+    kp_desc: np.ndarray
+    kp_valid: np.ndarray
+    # direct pyramid (packed) for photometric text alignment
+    pyr_data: Optional[np.ndarray] = None  # [L, H, W, 3]
+    pyr_shapes: Optional[np.ndarray] = None  # [L, 2]
+    detections: List[TextDetection] = dataclasses.field(default_factory=list)
+    pose: Optional[np.ndarray] = None  # [7] Tcw once tracked
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.kp_valid.sum())
+
+
+def build_frame(
+    cfg: TextSLAMConfig,
+    img: np.ndarray,
+    frame_id: int,
+    timestamp: float,
+    detections: Optional[List[TextDetection]] = None,
+    n_features: Optional[int] = None,
+    with_pyramid: bool = True,
+) -> Frame:
+    """Construct a Frame from an undistorted grayscale image (float32 [H,W])."""
+    imj = jnp.asarray(img, dtype=jnp.float32)
+    kp = orb.extract_orb(
+        imj,
+        n_features=n_features or cfg.orb.n_features,
+        n_levels=cfg.orb.n_levels,
+        scale=cfg.orb.scale_factor,
+        threshold=float(cfg.orb.fast_threshold_min),
+    )
+    pyr_data = pyr_shapes = None
+    if with_pyramid and not cfg.no_text:
+        n_lv = max(cfg.pyramid.init_ba_levels) + 1
+        imgs, grads = pyramid.build_pyramid(imj, levels=n_lv)
+        packed = pyramid.pack_pyramid(imgs, grads)
+        pyr_data = np.asarray(packed["data"])
+        pyr_shapes = np.asarray(packed["shapes"])
+    return Frame(
+        frame_id=frame_id,
+        timestamp=timestamp,
+        shape=img.shape,
+        kp_uv=np.asarray(kp.uv),
+        kp_level=np.asarray(kp.level),
+        kp_angle=np.asarray(kp.angle),
+        kp_desc=np.asarray(kp.desc),
+        kp_valid=np.asarray(kp.valid),
+        pyr_data=pyr_data,
+        pyr_shapes=pyr_shapes,
+        detections=list(detections or []),
+    )

@@ -1,0 +1,536 @@
+"""Frontend tracking: state machine, matching, pose optimization, KF policy.
+
+Re-designs src/tracking.{h,cc} (2,883 LoC) around batched device kernels:
+- SearchFrom3D (src/tracking.cc:1124-1273) -> one projection + dense masked
+  Hamming match over the whole point pool
+- PoseOptim (src/optimizer.cc:135-195) -> solver.ba with K=1 window and
+  host-driven chi2 gating rounds
+- SearchForTriangular + CheckTriangular (src/tracking.cc:1347-1497) -> one
+  masked match + batched DLT triangulation
+- LocalBundleAdjustment (src/optimizer.cc:197-331) -> solver.ba over the
+  sliding window with host/target structure and frozen out-of-window hosts
+
+Host python does only bookkeeping; shapes are padded to power-of-two tiers to
+bound jit recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import TextSLAMConfig
+from ..geometry import se3, twoview
+from ..geometry.camera import project, unproject, in_image
+from ..ops import matching
+from ..solver import ba
+from ..mapper.state import SlamMap, Keyframe
+from .frame import Frame
+
+# tracking states (src/tracking.h:44-51)
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+
+def pad_tier(n: int, minimum: int = 256) -> int:
+    t = minimum
+    while t < n:
+        t *= 2
+    return t
+
+
+def _pad(a: np.ndarray, n: int, fill=0):
+    if a.shape[0] >= n:
+        return a[:n]
+    pad_width = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad_width, constant_values=fill)
+
+
+def _pad_pose(a: np.ndarray, n: int):
+    """Pad pose arrays with identity quaternions (a zero quaternion is
+    degenerate and NaNs every downstream rotation)."""
+    if a.shape[0] >= n:
+        return a[:n]
+    out = np.zeros((n, 7), a.dtype)
+    out[:, 0] = 1.0
+    out[: a.shape[0]] = a
+    return out
+
+
+@jax.jit
+def _project_points(pt_ray, pt_rho, pt_host_pose, pose_guess, fx, fy, cx, cy):
+    """Map-point projection under a pose guess; returns (uv [P,2], z [P])."""
+    p_host = pt_ray / pt_rho[:, None].clip(1e-9)
+    xyz_w = se3.apply(se3.inverse(pt_host_pose), p_host)
+    p_c = se3.apply(pose_guess, xyz_w)
+    return project(p_c, fx, fy, cx, cy), p_c[:, 2]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def search_from_3d(
+    pt_ray, pt_rho, pt_host_pose, pt_desc, pt_valid,
+    pose_guess, kp_uv, kp_desc, kp_valid,
+    fx, fy, cx, cy, radius, max_dist, width: int, height: int,
+):
+    """Project-all + windowed Hamming match (SearchFrom3D analog)."""
+    proj, z = _project_points(pt_ray, pt_rho, pt_host_pose, pose_guess, fx, fy, cx, cy)
+    vis = pt_valid & (z > 0.05) & in_image(proj, width, height, margin=1.0)
+    pair = matching.window_mask(proj, kp_uv, radius)
+    idx, ok = matching.mutual_best_match(
+        pt_desc, kp_desc, vis, kp_valid, pair_mask=pair, max_dist=max_dist
+    )
+    return idx, ok, proj, z
+
+
+@jax.jit
+def _match_triangulate(
+    kp_uv1, kp_desc1, kp_valid1, kp_level1,
+    kp_uv2, kp_desc2, kp_valid2,
+    T1, T2, fx, fy, cx, cy, radius_base, max_dist, max_err2,
+):
+    """Match unmatched features between two frames and triangulate.
+
+    Window radius scales with the octave of the first frame's keypoint
+    (src/tracking.cc:1347-1411: win 80*1.2^level)."""
+    radius = radius_base * (1.2 ** kp_level1.astype(jnp.float32))
+    pair = matching.window_mask(kp_uv1, kp_uv2, radius)
+    idx, ok = matching.mutual_best_match(
+        kp_desc1, kp_desc2, kp_valid1, kp_valid2, pair_mask=pair,
+        max_dist=max_dist, ratio=0.9,
+    )
+    ray1 = unproject(kp_uv1, fx, fy, cx, cy)
+    ray2 = unproject(kp_uv2[idx], fx, fy, cx, cy)
+    from ..geometry import triangulate as tri
+
+    P_w = tri.triangulate(ray1, ray2, T1, T2)
+    z1 = tri.depths(P_w, T1)
+    z2 = tri.depths(P_w, T2)
+    e1 = tri.reproj_err2(P_w, T1, kp_uv1, fx, fy, cx, cy)
+    e2 = tri.reproj_err2(P_w, T2, kp_uv2[idx], fx, fy, cx, cy)
+    good = ok & (z1 > 0.05) & (z2 > 0.05) & (e1 < max_err2) & (e2 < max_err2)
+    return idx, good, P_w, z1
+
+
+class Tracker:
+    """Synchronous frontend mirroring tracking::Track (src/tracking.cc:104)."""
+
+    def __init__(self, cfg: TextSLAMConfig, slam_map: SlamMap):
+        self.cfg = cfg
+        self.map = slam_map
+        self.state = NOT_INITIALIZED
+        self.last_frame: Optional[Frame] = None
+        self.init_frame: Optional[Frame] = None
+        self.velocity: Optional[np.ndarray] = None  # T_cur_last
+        self.last_kf_frame_id = -1000
+        self.last_pose: Optional[np.ndarray] = None
+        self.prev_pose: Optional[np.ndarray] = None
+        self.n_tracked_last_kf = 0
+        self.trajectory = []  # (timestamp, Tcw) per frame
+        self.text_frontend = None  # wired by system when text is enabled
+
+    # ------------------------------------------------------------------
+    def process(self, frame: Frame) -> bool:
+        cam = self.cfg.camera
+        if self.state == NOT_INITIALIZED:
+            ok = self._try_initialize(frame)
+        else:
+            ok = self._track(frame)
+        if ok and frame.pose is not None:
+            self.trajectory.append((frame.timestamp, frame.pose.copy()))
+        self.last_frame = frame
+        return ok
+
+    # ------------------------------------------------------------------
+    # initialization (src/tracking.cc:192-272, SURVEY.md §3.3)
+    def _try_initialize(self, frame: Frame) -> bool:
+        if self.init_frame is None:
+            if frame.n_valid > 100:
+                self.init_frame = frame
+            return False
+        f1, f2 = self.init_frame, frame
+        # octave-0 wide-window match (SearchForInitializ, src/tracking.cc:1045)
+        pair = matching.window_mask(
+            jnp.asarray(f1.kp_uv), jnp.asarray(f2.kp_uv), self.cfg.match.search_window_init
+        )
+        lvl = matching.level_mask(jnp.asarray(f1.kp_level), jnp.asarray(f2.kp_level), 0)
+        lvl0 = jnp.asarray(f1.kp_level == 0)[:, None]
+        idx, ok = matching.mutual_best_match(
+            jnp.asarray(f1.kp_desc), jnp.asarray(f2.kp_desc),
+            jnp.asarray(f1.kp_valid), jnp.asarray(f2.kp_valid),
+            pair_mask=pair & lvl & lvl0,
+            max_dist=self.cfg.match.th_low, ratio=self.cfg.match.nn_ratio_init,
+        )
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        n_matches = int(ok.sum())
+        if n_matches < 100:
+            self.init_frame = frame if frame.n_valid > 100 else None
+            return False
+        cam = self.cfg.camera
+        uv1 = jnp.asarray(f1.kp_uv)
+        uv2 = jnp.asarray(f2.kp_uv[idx])
+        res = twoview.initialize_two_view(
+            jax.random.PRNGKey(self.cfg.seed), uv1, uv2, jnp.asarray(ok),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        if not bool(res.success):
+            return False
+        self._create_initial_map(f1, f2, idx, np.asarray(res.is_inlier), np.asarray(res.T21), np.asarray(res.points))
+        self.state = OK
+        return True
+
+    def _create_initial_map(self, f1: Frame, f2: Frame, idx, inlier, T21, P1):
+        """CreatInitialMap (src/tracking.cc:1009-1033): 2 KFs, points hosted
+        in KF0, InitBA, then scale normalization to median depth 1."""
+        m = self.map
+        cam = self.cfg.camera
+        # scale so median depth = 1 (H/F recon gives ||t||=1; inverse-depth
+        # parameterization wants O(1) depths)
+        med = np.median(P1[inlier][:, 2])
+        P1 = P1 / med
+        T21 = T21.copy()
+        T21[4:] /= med
+
+        kf1 = self._make_keyframe(f1)
+        kid1 = m.add_keyframe(kf1, se3.identity().__array__())
+        kf2 = self._make_keyframe(f2)
+        kid2 = m.add_keyframe(kf2, T21)
+        f1.pose = np.asarray(se3.identity())
+        f2.pose = T21.copy()
+
+        sel = np.nonzero(inlier)[0]
+        for i in sel:
+            z = P1[i, 2]
+            if z <= 0.05:
+                continue
+            ray = P1[i] / z
+            pid = m.add_point(kid1, ray.astype(np.float32), 1.0 / z, f1.kp_desc[i])
+            m.add_observation(kid1, int(i), pid)
+            m.add_observation(kid2, int(idx[i]), pid)
+        m.update_covis_on_obs(kid2, m.keyframes[kid2].kp_point)
+
+        # InitBA: joint KF2 pose + rho (KF1 pose fixed; src/optimizer.cc:56-133)
+        self._local_ba(window_kids=[kid1, kid2], fix=[kid1], init_ba=True)
+        f2.pose = m.kf_pose[kid2].copy()
+        self.last_pose = f2.pose.copy()
+        self.prev_pose = f1.pose.copy()
+        self.last_kf_frame_id = f2.frame_id
+        self.n_tracked_last_kf = len(sel)
+        self.velocity = np.asarray(se3.compose(jnp.asarray(f2.pose), se3.inverse(jnp.asarray(f1.pose))))
+        if self.text_frontend is not None:
+            self.text_frontend.on_initialized(f1, f2, kid1, kid2)
+
+    def _make_keyframe(self, frame: Frame) -> Keyframe:
+        n = frame.kp_uv.shape[0]
+        kf = Keyframe(
+            kid=-1,
+            frame_id=frame.frame_id,
+            timestamp=frame.timestamp,
+            kp_uv=frame.kp_uv.copy(),
+            kp_level=frame.kp_level.copy(),
+            kp_angle=frame.kp_angle.copy(),
+            kp_desc=frame.kp_desc.copy(),
+            kp_valid=frame.kp_valid.copy(),
+            kp_point=np.full(n, -1, np.int32),
+            obs_good=np.zeros(n, bool),
+            pyr_data=frame.pyr_data,
+            pyr_shapes=frame.pyr_shapes,
+            det_quads=(
+                np.stack([d.quad for d in frame.detections])
+                if frame.detections
+                else np.zeros((0, 4, 2), np.float32)
+            ),
+            det_text=frame.detections,
+            det_object=np.full(len(frame.detections), -1, np.int32),
+        )
+        return kf
+
+    # ------------------------------------------------------------------
+    # steady-state tracking (src/tracking.cc:122-186, SURVEY.md §3.2)
+    def _track(self, frame: Frame) -> bool:
+        cam = self.cfg.camera
+        m = self.map
+        if self.velocity is not None:
+            guess = np.asarray(se3.compose(jnp.asarray(self.velocity), jnp.asarray(self.last_pose)))
+        else:
+            guess = self.last_pose.copy()
+
+        pids, kp_idx, ok = self._match_map(frame, guess)
+        n_matches = int(ok.sum())
+        if n_matches < 10:
+            # fallback: re-match without motion model, wider radius
+            pids, kp_idx, ok = self._match_map(frame, self.last_pose, radius_scale=2.0)
+            guess = self.last_pose.copy()
+            n_matches = int(ok.sum())
+        if n_matches < 10:
+            self.state = LOST
+            frame.pose = guess
+            return False
+
+        pose, inlier = self._pose_optimize(frame, guess, pids[ok], kp_idx[ok])
+        # second association pass under the refined pose with a tight window
+        # (SearchFrom3DAdd, src/tracking.cc:1114-1273), then re-optimize
+        pids2, kp_idx2, ok2 = self._match_map(frame, pose, radius_scale=0.5)
+        if int(ok2.sum()) > int(inlier.sum()):
+            pose, inlier = self._pose_optimize(frame, pose, pids2[ok2], kp_idx2[ok2])
+            pids, kp_idx, ok = pids2, kp_idx2, ok2
+        frame.pose = pose
+        good_pids = pids[ok][inlier]
+        good_kps = kp_idx[ok][inlier]
+        n_good = len(good_pids)
+        if n_good < 10:
+            self.state = LOST
+            return False
+        self.state = OK
+
+        # landmark observation counters (LandmarkerObvUpdate, :1581-1608)
+        m.pt_good_obs[good_pids] += 1
+        bad_pids = pids[ok][~inlier]
+        m.pt_bad_obs[bad_pids] += 1
+
+        # text pipeline per-frame hooks (pose refinement uses text residuals)
+        if self.text_frontend is not None:
+            pose = self.text_frontend.on_frame_tracked(frame, good_pids, good_kps)
+            frame.pose = pose
+
+        # velocity update
+        self.prev_pose = self.last_pose
+        self.last_pose = frame.pose.copy()
+        if self.prev_pose is not None:
+            self.velocity = np.asarray(
+                se3.compose(jnp.asarray(self.last_pose), se3.inverse(jnp.asarray(self.prev_pose)))
+            )
+
+        # keyframe policy (src/tracking.cc:873-898)
+        gap = frame.frame_id - self.last_kf_frame_id
+        c1 = gap >= self.cfg.kf_min_gap
+        c2 = (n_good < 0.9 * self.n_tracked_last_kf) and n_good > 15
+        if c1 or c2:
+            self._insert_keyframe(frame, good_pids, good_kps)
+        return True
+
+    def _match_map(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
+        m = self.map
+        cam = self.cfg.camera
+        P = pad_tier(max(m.n_points, 1))
+        pt_valid = _pad(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points], P, False)
+        host = _pad(m.pt_host[: m.n_points], P, 0).clip(0)
+        idx, ok, proj, z = search_from_3d(
+            jnp.asarray(_pad(m.pt_ray[: m.n_points], P)),
+            jnp.asarray(_pad(m.pt_rho[: m.n_points], P)),
+            jnp.asarray(m.kf_pose[host]),
+            jnp.asarray(_pad(m.pt_desc[: m.n_points], P)),
+            jnp.asarray(pt_valid),
+            jnp.asarray(guess),
+            jnp.asarray(frame.kp_uv),
+            jnp.asarray(frame.kp_desc),
+            jnp.asarray(frame.kp_valid),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            self.cfg.match.search_radius_3d * radius_scale,
+            self.cfg.match.th_high,
+            cam.width, cam.height,
+        )
+        ok = np.asarray(ok)
+        idx = np.asarray(idx)
+        pids = np.arange(P)
+        return pids, idx, ok
+
+    def _pose_optimize(self, frame: Frame, guess: np.ndarray, pids, kp_idx, rounds: int = 2):
+        """PoseOptim with chi2 gating rounds (src/optimizer.cc:1060-1327)."""
+        m = self.map
+        cam = self.cfg.camera
+        scfg = self.cfg.solver
+        O = pad_tier(max(len(pids), 1))
+        host = m.pt_host[pids].clip(0)
+        obs_valid = np.zeros(O, bool)
+        obs_valid[: len(pids)] = True
+        scene = ba.SceneObs(
+            tgt=jnp.zeros(O, dtype=jnp.int32),
+            host=jnp.ones(O, dtype=jnp.int32),
+            host_frozen_pose=jnp.asarray(_pad_pose(m.kf_pose[host], O)),
+            host_in_window=jnp.zeros(O, dtype=bool),
+            point=jnp.asarray(_pad(pids.astype(np.int32), O)),
+            ray=jnp.asarray(_pad(m.pt_ray[pids], O)),
+            uv=jnp.asarray(_pad(frame.kp_uv[kp_idx], O)),
+            weight=jnp.full(O, scfg.weight_scene, dtype=jnp.float32),
+            valid=jnp.asarray(obs_valid),
+        )
+        Pt = pad_tier(max(m.n_points, 1))
+        pose = jnp.asarray(guess, dtype=jnp.float32)[None]
+        rho = jnp.asarray(_pad(m.pt_rho[:m.n_points], Pt))
+        prob = ba.BAProblem(
+            poses=pose,
+            pose_free=jnp.ones(1, dtype=bool),
+            rho=rho,
+            rho_free=jnp.zeros(Pt, dtype=bool),
+            theta=jnp.zeros((1, 3), dtype=jnp.float32),
+            theta_free=jnp.zeros(1, dtype=bool),
+            scene=scene, text=None, images=None,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+        )
+        # clip scene.point to padded rho pool
+        prob = prob._replace(scene=scene._replace(point=scene.point.clip(0, Pt - 1)))
+        inlier = obs_valid.copy()
+        for _ in range(rounds):
+            st = ba.solve_ba(prob, n_iters=self.cfg.solver.iters_per_level,
+                             huber_scene=scfg.huber_scene_pose)
+            prob = prob._replace(poses=st.poses)
+            chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
+            chi2_px = np.asarray(chi2) / (scfg.weight_scene**2)
+            inlier = obs_valid & (chi2_px < scfg.chi2_mono_pose)
+            prob = prob._replace(scene=prob.scene._replace(valid=jnp.asarray(inlier)))
+        pose = np.asarray(st.poses[0])
+        return pose, inlier[: len(pids)]
+
+    # ------------------------------------------------------------------
+    # keyframe insertion + local BA (src/tracking.cc:799-871, SURVEY.md §3.4)
+    def _insert_keyframe(self, frame: Frame, tracked_pids, tracked_kps):
+        m = self.map
+        cam = self.cfg.camera
+        kf = self._make_keyframe(frame)
+        kid = m.add_keyframe(kf, frame.pose)
+        for pid, ki in zip(tracked_pids, tracked_kps):
+            m.add_observation(kid, int(ki), int(pid))
+        m.update_covis_on_obs(kid, tracked_pids)
+
+        # triangulate new points vs last KF
+        self._triangulate_new(kid)
+
+        # windowed BA. Gauge: fix only the oldest window KF — fixing two
+        # full poses (reference PyrBA fixes KF0+KF1, src/optimizer.cc:1562-
+        # 1567) over-constrains the 7-dof similarity gauge and bakes two-view
+        # init error into the map; the scale direction left soft by a single
+        # fixed pose is anchored by LM damping.
+        window = m.window_kfs(self.cfg.solver.ba_window)
+        fix = window[:1]
+        self._local_ba(window_kids=window, fix=fix)
+        frame.pose = m.kf_pose[kid].copy()
+        self.last_pose = frame.pose.copy()
+
+        self.last_kf_frame_id = frame.frame_id
+        self.n_tracked_last_kf = len(tracked_pids)
+        if self.text_frontend is not None:
+            self.text_frontend.on_keyframe(frame, kid)
+        if self.loop_hook is not None:
+            self.loop_hook(kid)
+
+    loop_hook = None  # set by system when loop closing is enabled
+
+    def _triangulate_new(self, kid: int):
+        """New map points between this KF and the previous KF."""
+        m = self.map
+        cam = self.cfg.camera
+        if kid == 0:
+            return
+        prev = m.keyframes[kid - 1]
+        cur = m.keyframes[kid]
+        v1 = prev.kp_valid & (prev.kp_point < 0)
+        v2 = cur.kp_valid & (cur.kp_point < 0)
+        idx, good, P_w, z1 = _match_triangulate(
+            jnp.asarray(prev.kp_uv), jnp.asarray(prev.kp_desc), jnp.asarray(v1), jnp.asarray(prev.kp_level),
+            jnp.asarray(cur.kp_uv), jnp.asarray(cur.kp_desc), jnp.asarray(v2),
+            jnp.asarray(m.kf_pose[prev.kid]), jnp.asarray(m.kf_pose[cur.kid]),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            self.cfg.match.search_window_triangulate,
+            self.cfg.match.th_low, 9.0,
+        )
+        idx, good = np.asarray(idx), np.asarray(good)
+        P_host = np.asarray(se3.apply(jnp.asarray(m.kf_pose[prev.kid]), jnp.asarray(P_w)))
+        new_pids = []
+        for i in np.nonzero(good)[0]:
+            z = P_host[i, 2]
+            if z <= 0.05 or m.n_points >= self.cfg.map.max_points:
+                continue
+            ray = P_host[i] / z
+            pid = m.add_point(prev.kid, ray.astype(np.float32), 1.0 / z, prev.kp_desc[i])
+            m.add_observation(prev.kid, int(i), pid)
+            m.add_observation(cur.kid, int(idx[i]), pid)
+            new_pids.append(pid)
+        if new_pids:
+            m.update_covis_on_obs(cur.kid, np.asarray(new_pids))
+
+    def _local_ba(self, window_kids, fix, init_ba: bool = False):
+        """Windowed joint BA; hosts outside the window are frozen
+        (src/optimizer.cc:1394-1430)."""
+        m = self.map
+        cam = self.cfg.camera
+        scfg = self.cfg.solver
+        K = pad_tier(len(window_kids), minimum=4)  # fixed window tiers
+        slot = {k: i for i, k in enumerate(window_kids)}
+
+        tgt_l, host_l, hostpose_l, inwin_l, point_l, ray_l, uv_l, kfkp_l = [], [], [], [], [], [], [], []
+        for kid in window_kids:
+            kf = m.keyframes[kid]
+            sel = np.nonzero((kf.kp_point >= 0) & kf.obs_good)[0]
+            for i in sel:
+                pid = int(kf.kp_point[i])
+                if m.pt_bad[pid]:
+                    continue
+                h = int(m.pt_host[pid])
+                tgt_l.append(slot[kid])
+                in_w = h in slot
+                host_l.append(slot.get(h, K))
+                hostpose_l.append(m.kf_pose[h])
+                inwin_l.append(in_w)
+                point_l.append(pid)
+                ray_l.append(m.pt_ray[pid])
+                uv_l.append(kf.kp_uv[i])
+                kfkp_l.append((kid, int(i)))
+        if not point_l:
+            return
+        # compact point remap
+        upts, pinv = np.unique(np.asarray(point_l), return_inverse=True)
+        P = pad_tier(len(upts))
+        O = pad_tier(len(tgt_l))
+        valid = np.zeros(O, bool)
+        valid[: len(tgt_l)] = True
+        rho_free = np.zeros(P, bool)
+        # rho free only when host in window (reference: full residual branch)
+        host_in_window_per_pt = np.array([int(m.pt_host[p]) in slot for p in upts])
+        rho_free[: len(upts)] = host_in_window_per_pt
+        scene = ba.SceneObs(
+            tgt=jnp.asarray(_pad(np.asarray(tgt_l, np.int32), O)),
+            host=jnp.asarray(_pad(np.asarray(host_l, np.int32), O, K)),
+            host_frozen_pose=jnp.asarray(_pad_pose(np.asarray(hostpose_l, np.float32), O)),
+            host_in_window=jnp.asarray(_pad(np.asarray(inwin_l, bool), O, False)),
+            point=jnp.asarray(_pad(pinv.astype(np.int32), O)),
+            ray=jnp.asarray(_pad(np.asarray(ray_l, np.float32), O)),
+            uv=jnp.asarray(_pad(np.asarray(uv_l, np.float32), O)),
+            weight=jnp.full(O, scfg.weight_scene if not init_ba else 1.0, dtype=jnp.float32),
+            valid=jnp.asarray(valid),
+        )
+        pose_free = np.zeros(K, bool)
+        pose_free[: len(window_kids)] = [k not in fix for k in window_kids]
+        prob = ba.BAProblem(
+            poses=jnp.asarray(_pad_pose(m.kf_pose[np.asarray(window_kids)], K)),
+            pose_free=jnp.asarray(pose_free),
+            rho=jnp.asarray(_pad(m.pt_rho[upts], P)),
+            rho_free=jnp.asarray(rho_free),
+            theta=jnp.zeros((1, 3), dtype=jnp.float32),
+            theta_free=jnp.zeros(1, dtype=bool),
+            scene=scene, text=None, images=None,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+        )
+        n_it = scfg.iters_per_level * (3 if init_ba else 2)
+        st = ba.solve_ba(prob, n_iters=n_it,
+                         huber_scene=scfg.huber_scene_init if init_ba else scfg.huber_scene_pose)
+        # write back
+        poses = np.asarray(st.poses)
+        for k, kid in enumerate(window_kids):
+            m.kf_pose[kid] = poses[k]
+        rho = np.asarray(st.rho)[: len(upts)]
+        m.pt_rho[upts[host_in_window_per_pt]] = rho[host_in_window_per_pt].clip(1e-4, 1e4)
+        # chi2 gating -> mark obs bad (src/optimizer.cc:1618-1686)
+        prob = prob._replace(poses=st.poses, rho=st.rho)
+        chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
+        chi2_px = np.asarray(chi2)[: len(tgt_l)] / (scfg.weight_scene**2 if not init_ba else 1.0)
+        bad = chi2_px > scfg.chi2_mono_pose
+        for (kid, i), b in zip(kfkp_l, bad):
+            if b:
+                m.keyframes[kid].obs_good[i] = False
+                pid = int(m.keyframes[kid].kp_point[i])
+                m.pt_bad_obs[pid] += 1

@@ -1,0 +1,269 @@
+"""SoA map state: keyframes, scene points, text objects, observations, covisibility.
+
+The reference's pointer web (map/keyframe/mapPts/mapText,
+src/map.{h,cc}, src/keyframe.{h,cc}) becomes flat pre-allocated pools with
+validity masks. Bookkeeping (id allocation, observation registries, state
+machines) runs host-side in numpy — it is O(landmarks) integer work per
+keyframe; every compute-heavy consumer (matching, BA) gathers padded device
+batches from these pools.
+
+Covisibility is kept exactly like the reference: three dense matrices
+M1 (#shared scene points), M2 (#shared text objects), M3 (#shared text
+features), updated incrementally (src/map.h:81-85, src/map.cc UpdateCovMap_*).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import TextSLAMConfig
+
+# text object states (src/setting.h:200-204)
+TEXT_GOOD = 0
+TEXT_IMMATURE = 1
+TEXT_BAD = 2
+
+
+@dataclasses.dataclass
+class Keyframe:
+    """Host-side per-keyframe record. Heavy arrays are numpy; device copies
+    are created on demand by the solvers."""
+
+    kid: int
+    frame_id: int
+    timestamp: float
+    # ORB features (numpy mirrors of ops.orb.Keypoints)
+    kp_uv: np.ndarray  # [N, 2]
+    kp_level: np.ndarray  # [N]
+    kp_angle: np.ndarray
+    kp_desc: np.ndarray  # [N, 8] uint32
+    kp_valid: np.ndarray  # [N]
+    # observation registry: keypoint index -> point id (-1 = none)
+    kp_point: np.ndarray  # [N] int32
+    obs_good: np.ndarray  # [N] bool — per-observation good flag (BA gating)
+    # direct-pyramid (x2) packed data for photometric BA, kept on host
+    pyr_data: Optional[np.ndarray] = None  # [L, H, W, 3] float32
+    pyr_shapes: Optional[np.ndarray] = None  # [L, 2] int32
+    # text detections in this KF
+    det_quads: Optional[np.ndarray] = None  # [D, 4, 2] float32 corners
+    det_text: Optional[object] = None  # list[TextInfo-like] host records
+    det_object: Optional[np.ndarray] = None  # [D] int32 -> text object id or -1
+    # loop-closure bookkeeping
+    loop_edges: List[int] = dataclasses.field(default_factory=list)
+
+
+class SlamMap:
+    """Pool-backed map. Ids are stable array indices."""
+
+    def __init__(self, cfg: TextSLAMConfig):
+        self.cfg = cfg
+        m = cfg.map
+        self.keyframes: List[Keyframe] = []
+        self.kf_pose = np.zeros((m.max_keyframes, 7), np.float32)
+        self.kf_pose[:, 0] = 1.0
+        self.kf_valid = np.zeros(m.max_keyframes, bool)
+
+        # scene points (host ray + inverse depth; src/mapPts.h:80)
+        self.pt_host = np.full(m.max_points, -1, np.int32)
+        self.pt_ray = np.zeros((m.max_points, 3), np.float32)
+        self.pt_rho = np.zeros(m.max_points, np.float32)
+        self.pt_valid = np.zeros(m.max_points, bool)
+        self.pt_bad = np.zeros(m.max_points, bool)
+        self.pt_desc = np.zeros((m.max_points, 8), np.uint32)
+        self.pt_good_obs = np.zeros(m.max_points, np.int32)
+        self.pt_bad_obs = np.zeros(m.max_points, np.int32)
+        self.n_points = 0
+
+        # text objects (theta lives here; host KF indexed; src/mapText.h)
+        t = cfg.text
+        self.tx_host = np.full(m.max_texts, -1, np.int32)
+        self.tx_theta = np.zeros((m.max_texts, 3), np.float32)
+        self.tx_state = np.full(m.max_texts, TEXT_BAD, np.int8)
+        self.tx_valid = np.zeros(m.max_texts, bool)
+        self.tx_quad = np.zeros((m.max_texts, 4, 2), np.float32)  # host-KF px
+        self.tx_string: List[str] = ["" for _ in range(m.max_texts)]
+        self.tx_score: np.ndarray = np.zeros(m.max_texts, np.float32)
+        self.tx_lang = np.zeros(m.max_texts, np.int8)
+        self.tx_good_obs = np.zeros(m.max_texts, np.int32)
+        self.tx_bad_obs = np.zeros(m.max_texts, np.int32)
+        self.tx_cov = np.full((m.max_texts, 3, 3), np.inf, np.float32)
+        # per-level reference features: pixel uv at level + 8 ref intensities
+        L = len(cfg.pyramid.theta_levels) + 1  # levels 0..3 used by solvers
+        F = t.max_features_per_level
+        self.tx_feat_uv = np.zeros((m.max_texts, L, F, 2), np.float32)
+        self.tx_feat_ref = np.zeros((m.max_texts, L, F, 8), np.float32)
+        self.tx_feat_valid = np.zeros((m.max_texts, L, F), bool)
+        # text observations: obs[(kf_id, tx_id)] = detection index in kf
+        self.tx_obs: Dict[tuple, int] = {}
+        self.n_texts = 0
+
+        # covisibility matrices (src/map.h:81-85)
+        K = m.max_keyframes
+        self.M1 = np.zeros((K, K), np.int32)
+        self.M2 = np.zeros((K, K), np.int32)
+        self.M3 = np.zeros((K, K), np.int32)
+
+    # ---------------- keyframes ----------------
+
+    def add_keyframe(self, kf: Keyframe, pose: np.ndarray) -> int:
+        kid = len(self.keyframes)
+        if kid >= self.cfg.map.max_keyframes:
+            raise RuntimeError("keyframe pool exhausted")
+        kf.kid = kid
+        self.keyframes.append(kf)
+        self.kf_pose[kid] = pose
+        self.kf_valid[kid] = True
+        return kid
+
+    def set_pose(self, kid: int, pose: np.ndarray):
+        self.kf_pose[kid] = pose
+
+    def nearest_kfs(self, frame_id: int, n: int = 2) -> List[int]:
+        """Nearest keyframes by frame id (src/map.cc:87-113)."""
+        ids = [(abs(kf.frame_id - frame_id), kf.kid) for kf in self.keyframes]
+        ids.sort()
+        return [k for _, k in ids[:n]]
+
+    def window_kfs(self, window: int) -> List[int]:
+        """Last `window` keyframes (src/tracking.cc:828-842)."""
+        n = len(self.keyframes)
+        return list(range(max(0, n - window), n))
+
+    # ---------------- scene points ----------------
+
+    def add_point(self, host_kid: int, ray: np.ndarray, rho: float, desc: np.ndarray) -> int:
+        pid = self.n_points
+        if pid >= self.cfg.map.max_points:
+            raise RuntimeError("point pool exhausted")
+        self.pt_host[pid] = host_kid
+        self.pt_ray[pid] = ray
+        self.pt_rho[pid] = rho
+        self.pt_valid[pid] = True
+        self.pt_desc[pid] = desc
+        self.n_points += 1
+        return pid
+
+    def add_observation(self, kid: int, kp_idx: int, pid: int):
+        kf = self.keyframes[kid]
+        kf.kp_point[kp_idx] = pid
+        kf.obs_good[kp_idx] = True
+
+    def point_world(self, pids: np.ndarray) -> np.ndarray:
+        """xyz world positions (GetxyzPos: Twr·(ray/rho), src/mapPts.cc:126-134)."""
+        from ..geometry import se3
+        import jax.numpy as jnp
+
+        host = self.pt_host[pids]
+        ray = self.pt_ray[pids]
+        rho = self.pt_rho[pids].clip(1e-9)
+        T_rw = jnp.asarray(self.kf_pose[host])
+        p_r = jnp.asarray(ray / rho[:, None])
+        return np.array(se3.apply(se3.inverse(T_rw), p_r))
+
+    def replace_point(self, old_pid: int, new_pid: int):
+        """Loop fusion: rewire every observation of old into new
+        (mapPts::Replace, src/mapPts.cc:145-187) and update M1."""
+        for kf in self.keyframes:
+            sel = kf.kp_point == old_pid
+            if sel.any():
+                already = kf.kp_point == new_pid
+                if already.any():
+                    kf.kp_point[sel] = -1  # duplicate obs: drop
+                else:
+                    kf.kp_point[sel] = new_pid
+        self.pt_valid[old_pid] = False
+        self.pt_bad[old_pid] = True
+        self.rebuild_covis_m1()
+
+    # ---------------- text objects ----------------
+
+    def add_text(self, host_kid: int, theta, quad, string: str, score: float, lang: int, state=TEXT_IMMATURE) -> int:
+        tid = self.n_texts
+        if tid >= self.cfg.map.max_texts:
+            raise RuntimeError("text pool exhausted")
+        self.tx_host[tid] = host_kid
+        self.tx_theta[tid] = theta
+        self.tx_state[tid] = state
+        self.tx_valid[tid] = True
+        self.tx_quad[tid] = quad
+        self.tx_string[tid] = string
+        self.tx_score[tid] = score
+        self.tx_lang[tid] = lang
+        self.n_texts += 1
+        return tid
+
+    def add_text_observation(self, kid: int, tid: int, det_idx: int):
+        self.tx_obs[(kid, tid)] = det_idx
+        kf = self.keyframes[kid]
+        if kf.det_object is not None and det_idx < len(kf.det_object):
+            kf.det_object[det_idx] = tid
+
+    def text_obs_of_kf(self, kid: int) -> List[tuple]:
+        return [(t, d) for (k, t), d in self.tx_obs.items() if k == kid]
+
+    def kfs_observing_text(self, tid: int) -> List[int]:
+        return sorted({k for (k, t) in self.tx_obs if t == tid})
+
+    def replace_text(self, old_tid: int, new_tid: int):
+        """Loop fusion for text objects (mapText::Replace)."""
+        for (k, t) in list(self.tx_obs.keys()):
+            if t == old_tid:
+                d = self.tx_obs.pop((k, t))
+                if (k, new_tid) not in self.tx_obs:
+                    self.tx_obs[(k, new_tid)] = d
+                    kf = self.keyframes[k]
+                    if kf.det_object is not None and d < len(kf.det_object):
+                        kf.det_object[d] = new_tid
+        self.tx_valid[old_tid] = False
+        self.tx_state[old_tid] = TEXT_BAD
+        self.rebuild_covis_m23()
+
+    # ---------------- covisibility ----------------
+
+    def update_covis_on_obs(self, kid: int, pids: np.ndarray):
+        """Incremental M1 update when kid gains observations of pids
+        (UpdateCovMap_1). For each other KF observing the same point, +1."""
+        pidset = set(int(p) for p in pids if p >= 0)
+        if not pidset:
+            return
+        for other in self.keyframes:
+            if other.kid == kid:
+                continue
+            shared = sum(1 for p in other.kp_point if p >= 0 and p in pidset)
+            if shared:
+                self.M1[kid, other.kid] += shared
+                self.M1[other.kid, kid] += shared
+
+    def rebuild_covis_m1(self):
+        """Full M1 recompute (used after fusion; UpdateCovisibleKFs analog)."""
+        K = len(self.keyframes)
+        self.M1[:] = 0
+        obs_sets = [set(int(p) for p in kf.kp_point[kf.obs_good] if p >= 0) for kf in self.keyframes]
+        for a in range(K):
+            for b in range(a + 1, K):
+                s = len(obs_sets[a] & obs_sets[b])
+                self.M1[a, b] = self.M1[b, a] = s
+
+    def rebuild_covis_m23(self):
+        K = len(self.keyframes)
+        self.M2[:] = 0
+        self.M3[:] = 0
+        kf_texts: Dict[int, set] = {k: set() for k in range(K)}
+        for (k, t) in self.tx_obs:
+            if self.tx_valid[t]:
+                kf_texts.setdefault(k, set()).add(t)
+        for a in range(K):
+            for b in range(a + 1, K):
+                shared = kf_texts.get(a, set()) & kf_texts.get(b, set())
+                self.M2[a, b] = self.M2[b, a] = len(shared)
+                nfeat = sum(int(self.tx_feat_valid[t, 0].sum()) for t in shared)
+                self.M3[a, b] = self.M3[b, a] = nfeat
+
+    def covisible_kfs(self, kid: int) -> np.ndarray:
+        """KFs sharing any landmark with kid (any of M1/M2/M3 nonzero)."""
+        K = len(self.keyframes)
+        m = (self.M1[kid, :K] + self.M2[kid, :K] + self.M3[kid, :K]) > 0
+        return np.nonzero(m)[0]

@@ -43,6 +43,10 @@ from ..geometry import se3
 from ..geometry.camera import project
 from ..ops.interp import bilinear
 
+# cost charged to a residual that is nominally valid but currently broken
+# (behind camera / negative plane depth / sampled off-image)
+BROKEN_PENALTY = 1.0e4
+
 
 class SceneObs(NamedTuple):
     """Padded scene-point reprojection observations (2-dim residuals).
@@ -158,10 +162,19 @@ def scene_terms(problem: BAProblem, huber: float):
     r2 = (r * r).sum(-1)
     hw = _huber_w(r2, huber)
     w = jnp.where(ok, hw, 0.0)
-    # robust cost (Huber rho applied to weighted residual norm^2)
+    # robust cost (Huber rho applied to weighted residual norm^2); residuals
+    # that a step breaks (cheirality flip) cost a constant penalty so LM
+    # cannot "win" by pushing points behind the camera
     rn = jnp.sqrt(r2.clip(1e-12))
     cost = jnp.where(rn <= huber, r2, 2 * huber * rn - huber * huber)
-    cost = jnp.where(ok, cost, 0.0)
+    cost = jnp.where(ok, cost, jnp.where(s.valid, BROKEN_PENALTY, 0.0))
+    # hard-zero invalid rows: padded/degenerate entries can carry NaN
+    # Jacobians and 0*NaN = NaN would poison the scatter-adds
+    okm = ok[:, None]
+    r = jnp.where(okm, r, 0.0)
+    J_t = jnp.where(okm[..., None], J_t, 0.0)
+    J_h = jnp.where(okm[..., None], J_h, 0.0)
+    J_l = jnp.where(okm[..., None], J_l, 0.0)
     # zero Jacobians of frozen landmark / frozen host blocks
     J_l = J_l * problem.rho_free[s.point][:, None, None]
     J_h = J_h * s.host_in_window[:, None, None]
@@ -225,7 +238,12 @@ def text_terms(problem: BAProblem, huber: float):
     w = jnp.where(ok, hw, 0.0)
     rn = jnp.sqrt(r2.clip(1e-12))
     cost = jnp.where(rn <= huber, r2, 2 * huber * rn - huber * huber)
-    cost = jnp.where(ok, cost, 0.0)
+    cost = jnp.where(ok, cost, jnp.where(t.valid, BROKEN_PENALTY, 0.0))
+    okm = ok[:, None]
+    r = jnp.where(okm, r, 0.0)
+    J_t = jnp.where(okm[..., None], J_t, 0.0)
+    J_h = jnp.where(okm[..., None], J_h, 0.0)
+    J_l = jnp.where(okm[..., None], J_l, 0.0)
     J_l = J_l * problem.theta_free[t.text][:, None, None]
     J_h = J_h * t.host_in_window[:, None, None]
     return {"r": r, "J_t": J_t, "J_h": J_h, "J_l": J_l, "w": w, "cost": cost, "chi2": r2}
@@ -298,6 +316,10 @@ def _total_cost(problem: BAProblem, hubers) -> jnp.ndarray:
     return c
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "huber_scene", "huber_text", "lam0", "lam_up", "lam_down"),
+)
 def solve_ba(
     problem: BAProblem,
     n_iters: int = 10,
@@ -401,7 +423,8 @@ def solve_ba(
         new_poses, new_rho, new_theta = _apply_update(prob, delta_c, drho, dtheta)
         new_prob = problem._replace(poses=new_poses, rho=new_rho, theta=new_theta)
         new_cost = _total_cost(new_prob, hubers)
-        accept = new_cost < cost
+        finite = jnp.isfinite(new_cost) & jnp.isfinite(new_poses).all() & jnp.isfinite(new_rho).all() & jnp.isfinite(new_theta).all()
+        accept = (new_cost < cost) & finite
         return LMState(
             poses=jnp.where(accept, new_poses, state.poses),
             rho=jnp.where(accept, new_rho, state.rho),
@@ -416,6 +439,7 @@ def solve_ba(
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("huber",))
 def scene_chi2(problem: BAProblem, huber: float):
     """Post-solve per-observation chi2 for outlier gating
     (src/optimizer.cc:1238-1303 semantics: evaluate, threshold, mark bad)."""
@@ -423,6 +447,7 @@ def scene_chi2(problem: BAProblem, huber: float):
     return ts["chi2"], ts["w"] > 0
 
 
+@functools.partial(jax.jit, static_argnames=("huber",))
 def text_chi2(problem: BAProblem, huber: float):
     tt = text_terms(problem, huber)
     return tt["chi2"], tt["w"] > 0
