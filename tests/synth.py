@@ -78,6 +78,77 @@ class PlaneWorld:
         return img
 
 
+TEXT_STRINGS = ["CAFE", "EXIT", "HOTEL", "MARKET", "LIBRARY", "STATION"]
+
+
+def plane_theta_in_cam(z0: float, pose_cw: np.ndarray) -> np.ndarray:
+    """Ground-truth theta of the world plane z = z0 expressed in a camera.
+
+    Plane covector in world: (0, 0, 1, -z0) (n.p - z0 = 0). In camera coords
+    p_w = T_wc p_c, so pi_c = T_wc^T pi_w; theta = n_c / d_c with our
+    convention theta^T p + 1 = 0."""
+    q, t = pose_cw[:4], pose_cw[4:]
+    R = np.array(qto_matrix(jnp.asarray(q)))  # p_c = R p_w + t
+    # T_wc: p_w = R^T (p_c - t)
+    Rwc = R.T
+    twc = -R.T @ t
+    n_w = np.array([0.0, 0.0, 1.0])
+    n_c = Rwc.T @ n_w  # rotation part of T_wc^T
+    d_c = n_w @ twc - z0
+    return (n_c / d_c).astype(np.float32)
+
+
+class TextWorld(PlaneWorld):
+    """PlaneWorld + rectangular text regions on the planes with strings."""
+
+    def __init__(self, seed=0, planes=None, boxes_per_plane=2):
+        super().__init__(seed=seed, planes=planes)
+        rng = np.random.default_rng(seed + 100)
+        self.boxes = []  # (plane_idx, tex rect corners [4,2], string)
+        si = 0
+        for pi, (z0, s, tex, mask) in enumerate(self.planes):
+            ys, xs = np.nonzero(mask)
+            if len(ys) == 0:
+                continue
+            y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
+            for b in range(boxes_per_plane):
+                bw = int(rng.uniform(140, 220))
+                bh = int(rng.uniform(70, 110))
+                if x1 - x0 < bw + 40 or y1 - y0 < bh + 40:
+                    continue
+                bx = int(rng.uniform(x0 + 20, x1 - bw - 20))
+                by = int(rng.uniform(y0 + 20, y1 - bh - 20))
+                quad_tex = np.array(
+                    [[bx, by], [bx + bw, by], [bx + bw, by + bh], [bx, by + bh]],
+                    np.float32,
+                )
+                self.boxes.append((pi, quad_tex, TEXT_STRINGS[si % len(TEXT_STRINGS)]))
+                si += 1
+
+    def detections(self, pose_cw: np.ndarray, margin=8.0):
+        """Project text boxes into a camera -> list of TextDetection."""
+        from textslam_tpu.frontend.frame import TextDetection
+
+        q, t = pose_cw[:4], pose_cw[4:]
+        R = np.array(qto_matrix(jnp.asarray(q)))
+        dets = []
+        for pi, quad_tex, string in self.boxes:
+            z0, s, tex, mask = self.planes[pi]
+            th, tw = tex.shape
+            X = (quad_tex[:, 0] - tw / 2) / s
+            Y = (quad_tex[:, 1] - th / 2) / s
+            P_w = np.stack([X, Y, np.full(4, z0)], -1)
+            pc = P_w @ R.T + t
+            if (pc[:, 2] <= 0.1).any():
+                continue
+            uv = np.stack([FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], -1)
+            if not ((uv[:, 0] > margin) & (uv[:, 0] < W - margin)
+                    & (uv[:, 1] > margin) & (uv[:, 1] < H - margin)).all():
+                continue
+            dets.append(TextDetection(quad=uv.astype(np.float32), text=string, score=0.9))
+        return dets
+
+
 def camera_path(n_frames: int, kind="lateral"):
     """Ground-truth Tcw poses [N, 7]."""
     poses = []
@@ -103,6 +174,14 @@ def render_sequence(n_frames=40, seed=0, kind="lateral"):
     poses = camera_path(n_frames, kind)
     frames = [world.render(p) for p in poses]
     return frames, poses
+
+
+def render_text_sequence(n_frames=40, seed=0, kind="lateral"):
+    world = TextWorld(seed=seed)
+    poses = camera_path(n_frames, kind)
+    frames = [world.render(p) for p in poses]
+    dets = [world.detections(p) for p in poses]
+    return frames, dets, poses, world
 
 
 def ate_rmse(est_ts, est_poses_cw, gt_poses_cw, gt_stride=1):

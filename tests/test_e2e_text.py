@@ -1,0 +1,81 @@
+"""End-to-end SLAM with text objects on a rendered synthetic sequence.
+
+The SURVEY.md §7.2 M4 checkpoint: joint point + text-plane tracking/BA,
+theta initialization + lifecycle, checked against exact plane ground truth.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from textslam_tpu.config import TextSLAMConfig, CameraConfig
+from textslam_tpu.mapper.state import TEXT_GOOD, TEXT_BAD
+import synth
+
+
+def make_cfg():
+    return TextSLAMConfig(
+        no_text=False,
+        camera=CameraConfig(fx=synth.FX, fy=synth.FY, cx=synth.CX, cy=synth.CY,
+                            width=synth.W, height=synth.H, fps=10.0),
+    )
+
+
+@pytest.fixture(scope="module")
+def result():
+    from textslam_tpu.system import TextSLAM
+
+    frames, dets, gt, world = synth.render_text_sequence(n_frames=24, seed=0)
+    slam = TextSLAM(make_cfg())
+    for i, img in enumerate(frames):
+        slam.track_monocular(img, float(i), detections=dets[i])
+    return slam, gt, world
+
+
+class TestTextSLAM:
+    def test_tracks_and_creates_texts(self, result):
+        slam, gt, world = result
+        assert slam.tracker.state == 1
+        m = slam.map
+        assert m.n_texts >= 2, f"only {m.n_texts} text objects created"
+        good = [t for t in range(m.n_texts) if m.tx_state[t] == TEXT_GOOD]
+        assert len(good) >= 1, "no GOOD text objects"
+
+    def test_theta_matches_ground_truth(self, result):
+        slam, gt, world = result
+        m = slam.map
+        # for each live object, compare theta direction against the GT plane
+        # of the box it was created from (normals must agree; scale of theta
+        # differs by map scale so compare unit normals only)
+        checked = 0
+        for tid in range(m.n_texts):
+            if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_GOOD:
+                continue
+            host = int(m.tx_host[tid])
+            frame_id = m.keyframes[host].frame_id
+            # find the GT plane whose projected string matches
+            boxes = [b for b in world.boxes if b[2] == m.tx_string[tid]]
+            if not boxes:
+                continue
+            z0 = world.planes[boxes[0][0]][0]
+            th_gt = synth.plane_theta_in_cam(z0, gt[frame_id])
+            th = m.tx_theta[tid]
+            cos = abs(np.dot(th, th_gt) / (np.linalg.norm(th) * np.linalg.norm(th_gt) + 1e-12))
+            assert cos > 0.99, f"tid {tid} normal cos {cos}"
+            checked += 1
+        assert checked >= 1
+
+    def test_trajectory_accuracy(self, result):
+        slam, gt, world = result
+        kts = np.array([kf.timestamp for kf in slam.map.keyframes])
+        kposes = np.stack([slam.map.kf_pose[kf.kid] for kf in slam.map.keyframes])
+        ate = synth.ate_rmse(kts, kposes, gt)
+        assert ate < 0.012, f"KF ATE with text {ate}"
+
+    def test_observations_registered(self, result):
+        slam, gt, world = result
+        m = slam.map
+        assert len(m.tx_obs) >= m.n_texts  # at least host observations
+        # covisibility text matrices populated
+        K = len(m.keyframes)
+        assert m.M2[:K, :K].sum() > 0

@@ -1,0 +1,107 @@
+import numpy as np
+import jax.numpy as jnp
+
+from textslam_tpu.ops import rasterize, zncc, levenshtein
+
+RNG = np.random.default_rng(6)
+
+
+class TestRasterize:
+    def test_quad_mask_square(self):
+        quad = jnp.array([[2.0, 2.0], [7.0, 2.0], [7.0, 7.0], [2.0, 7.0]])
+        m = np.array(rasterize.quad_mask(quad, 10, 10))
+        assert m[4, 4] and m[2, 2] and m[7, 7]
+        assert not m[1, 4] and not m[4, 8] and not m[9, 9]
+
+    def test_quad_mask_winding(self):
+        q_ccw = jnp.array([[2.0, 2.0], [2.0, 7.0], [7.0, 7.0], [7.0, 2.0]])
+        m = np.array(rasterize.quad_mask(q_ccw, 10, 10))
+        assert m[4, 4]
+
+    def test_point_in_quad(self):
+        quad = jnp.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+        pts = jnp.array([[2.0, 2.0], [5.0, 2.0], [-1.0, 0.0]])
+        got = np.array(rasterize.point_in_quad(pts, quad))
+        assert list(got) == [True, False, False]
+
+    def test_quad_stats(self):
+        img = jnp.asarray(RNG.uniform(0, 255, (32, 32)).astype(np.float32))
+        quad = jnp.array([[4.0, 4.0], [20.0, 4.0], [20.0, 16.0], [4.0, 16.0]])
+        mu, sigma, n = rasterize.quad_stats(img, quad)
+        sub = np.array(img)[4:17, 4:21]
+        np.testing.assert_allclose(float(mu), sub.mean(), rtol=1e-5)
+        np.testing.assert_allclose(float(sigma), sub.std(), rtol=1e-5)
+        assert int(n) == sub.size
+
+    def test_label_lookup(self):
+        quads = jnp.array([
+            [[0.0, 0.0], [10, 0], [10, 10], [0, 10]],
+            [[20.0, 20], [30, 20], [30, 30], [20, 30]],
+        ])
+        pts = jnp.array([[5.0, 5.0], [25.0, 25.0], [15.0, 15.0]])
+        lab = np.array(rasterize.label_lookup(quads, jnp.array([True, True]), pts))
+        assert list(lab) == [0, 1, -1]
+        lab2 = np.array(rasterize.label_lookup(quads, jnp.array([False, True]), pts))
+        assert list(lab2) == [-1, 1, -1]
+
+
+class TestZNCC:
+    def test_identical_is_one(self):
+        a = jnp.asarray(RNG.normal(size=(50,)).astype(np.float32))
+        v = jnp.ones(50, bool)
+        assert abs(float(zncc.zncc(a, a * 2.0 + 3.0, v)) - 1.0) < 1e-5
+
+    def test_uncorrelated_near_zero(self):
+        a = jnp.asarray(RNG.normal(size=(500,)).astype(np.float32))
+        b = jnp.asarray(RNG.normal(size=(500,)).astype(np.float32))
+        assert abs(float(zncc.zncc(a, b, jnp.ones(500, bool)))) < 0.15
+
+    def test_masked(self):
+        a = jnp.asarray(RNG.normal(size=(50,)).astype(np.float32))
+        b = a.at[25:].set(99.0)  # corrupt masked-out half
+        v = jnp.arange(50) < 25
+        assert abs(float(zncc.zncc(a, b, v)) - 1.0) < 1e-5
+
+
+def _py_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        new = [i + 1]
+        for j, cb in enumerate(b):
+            new.append(min(dp[j + 1] + 1, new[-1] + 1, dp[j] + (ca != cb)))
+        dp = new
+    return dp[-1]
+
+
+class TestLevenshtein:
+    def test_matches_python(self):
+        words_a = ["kitten", "flaw", "saturday", "", "abc", "exit"]
+        words_b = ["sitting", "lawn", "sunday", "xyz", "abc"]
+        L = 12
+        a, alen = levenshtein.encode(words_a, L)
+        b, blen = levenshtein.encode(words_b, L)
+        d = np.array(levenshtein.levenshtein_matrix(
+            jnp.asarray(a), jnp.asarray(alen), jnp.asarray(b), jnp.asarray(blen)))
+        for i, wa in enumerate(words_a):
+            for j, wb in enumerate(words_b):
+                assert d[i, j] == _py_lev(wa, wb), (wa, wb, d[i, j])
+
+    def test_unicode(self):
+        words_a = ["你好世界", "日本語"]
+        words_b = ["你好", "日本語テスト"]
+        L = 8
+        a, alen = levenshtein.encode(words_a, L)
+        b, blen = levenshtein.encode(words_b, L)
+        d = np.array(levenshtein.levenshtein_matrix(
+            jnp.asarray(a), jnp.asarray(alen), jnp.asarray(b), jnp.asarray(blen)))
+        assert d[0, 0] == 2  # delete 世界
+        assert d[1, 1] == 3  # insert テスト
+
+    def test_scores(self):
+        words = ["hello"]
+        a, alen = levenshtein.encode(words, 8)
+        b, blen = levenshtein.encode(["hello", "help"], 8)
+        d = levenshtein.levenshtein_matrix(jnp.asarray(a), jnp.asarray(alen), jnp.asarray(b), jnp.asarray(blen))
+        s = np.array(levenshtein.similarity_scores(d, jnp.asarray(alen), jnp.asarray(blen)))
+        assert s[0, 0] == 1.0
+        np.testing.assert_allclose(s[0, 1], (5 - 2) / 5)

@@ -1,0 +1,71 @@
+"""Sharded BA + batched feature extraction on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from textslam_tpu.parallel import ba_sharded, features
+from textslam_tpu.solver import ba
+from test_solver_ba import make_ba_problem
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return ba_sharded.make_mesh()
+
+
+class TestShardedBA:
+    def test_matches_single_device_assembly(self, mesh):
+        problem, poses_gt, rho_gt = make_ba_problem()
+        # single-device reference
+        ts = ba.scene_terms(problem, 2.447)
+        K = problem.poses.shape[0]
+        Pn = problem.rho.shape[0]
+        Hcc0, bc0 = ba.assemble_camera_system(ts, problem.scene.tgt, problem.scene.host, K)
+        W0, Hll0, bl0 = ba.assemble_landmark_system(
+            ts, problem.scene.tgt, problem.scene.host, problem.scene.point, Pn, K, 1
+        )
+        Hcc, bc, W, Hll, bl, cost = ba_sharded.sharded_scene_normal_eqs(problem, mesh, 2.447)
+        np.testing.assert_allclose(np.asarray(Hcc), np.asarray(Hcc0), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bc), np.asarray(bc0), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Hll), np.asarray(Hll0), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(W), np.asarray(W0), rtol=1e-4, atol=1e-3)
+
+    def test_step_reduces_cost(self, mesh):
+        problem, poses_gt, rho_gt = make_ba_problem()
+        poses, rho, cost0 = ba_sharded.sharded_ba_step(problem, mesh)
+        p2 = problem._replace(poses=poses, rho=rho)
+        _, _, cost1 = ba_sharded.sharded_ba_step(p2, mesh)
+        assert float(cost1) < float(cost0)
+
+    def test_iterated_steps_converge(self, mesh):
+        problem, poses_gt, rho_gt = make_ba_problem()
+        p = problem
+        for _ in range(8):
+            poses, rho, cost = ba_sharded.sharded_ba_step(p, mesh)
+            p = p._replace(poses=poses, rho=rho)
+        # compare against ground truth poses
+        for k in range(2, poses_gt.shape[0]):
+            dq = float(jnp.abs((p.poses[k, :4] * poses_gt[k, :4]).sum()))
+            assert 1 - dq < 1e-5
+            assert float(jnp.linalg.norm(p.poses[k, 4:] - poses_gt[k, 4:])) < 5e-3
+
+
+class TestBatchedFeatures:
+    def test_sharded_extraction(self, mesh):
+        import synth
+
+        rng = np.random.default_rng(0)
+        world = synth.PlaneWorld(seed=1)
+        poses = synth.camera_path(8)
+        imgs = jnp.asarray(np.stack([world.render(p) for p in poses]))
+        kp = features.batched_extract(imgs, mesh, n_features=200, n_levels=2)
+        assert kp.uv.shape[0] == 8
+        assert bool(kp.valid.any())
+        # per-frame results identical to unsharded extraction
+        from textslam_tpu.ops import orb
+
+        kp0 = orb.extract_orb(imgs[3], n_features=200, n_levels=2)
+        np.testing.assert_allclose(np.asarray(kp.uv[3]), np.asarray(kp0.uv), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(kp.desc[3]), np.asarray(kp0.desc))

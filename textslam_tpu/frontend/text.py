@@ -1,0 +1,657 @@
+"""Text-object pipeline: planar text landmarks tracked by direct photometric
+alignment, with semantic lifecycle.
+
+Re-designs the text halves of src/tracking.cc, src/mapText.cc and the
+photometric problems of src/optimizer.cc:
+- theta initialization by RANSAC over scene-point (ray, rho) constraints in
+  the detection box (reference InitialTextObjs: 3-point closed-form solve +
+  reprojection scoring, src/initializer.cc:111-183, src/tracking.cc:1631-1734)
+- per-level reference TextFeatures: max-gradient in-box pixels with the
+  8-sample INTERVAL8 neighbour pattern and host-normalized intensities
+  (GetPyramidPts, src/tool.cc:564-984; GetNeighbour, :1540-1568)
+- per-frame observation gates: orientation cos >= 0.5, box in image (+-6px),
+  ZNCC >= 0.1 (TextJudge, src/tracking.cc:1966-1988)
+- joint scene+text pose refinement coarse-to-fine over pyramid levels
+  (PyrPoseOptim, src/optimizer.cc:1060-1327)
+- theta-only multi-view refinement + IMMATURE->GOOD promotion at
+  cos(theta_new, theta_old) >= 0.9 with >= 4 observations
+  (ThetaOptimMultiFs + TextUpdate, src/tracking.cc:1920-1962)
+- label data association of detections to objects (GetTextLabelMask analog,
+  ops.rasterize.label_lookup)
+- semantic string fusion by detection score and good/bad demotion counters
+  (UpdateSemantic_Condtions, src/tracking.cc:2307-2340)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import TextSLAMConfig
+from ..geometry import se3, plane
+from ..geometry.camera import project, unproject, in_image
+from ..ops import rasterize
+from ..ops.zncc import zncc_gate
+from ..ops.interp import bilinear
+from ..solver import ba
+from ..mapper.state import SlamMap, TEXT_GOOD, TEXT_IMMATURE, TEXT_BAD
+
+# INTERVAL8 neighbour offsets in pixels (src/tool.cc:1540-1568)
+INTERVAL8 = np.array(
+    [[0, 0], [2, 0], [-2, 0], [0, 2], [0, -2], [1, -1], [-1, 1], [-1, -1]],
+    np.float32,
+)
+
+
+def pad_tier(n: int, minimum: int = 16) -> int:
+    t = minimum
+    while t < n:
+        t *= 2
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("n_feat",))
+def extract_text_features(level_img, level_grad, quad, mu, sigma, n_feat: int):
+    """Select the n_feat strongest-gradient in-box pixels and record their
+    8-sample normalized reference intensities.
+
+    level_img [H, W], level_grad [H, W, 2], quad [4, 2] (level px), host box
+    stats (mu, sigma). Returns (uv [F, 2], ref [F, 8], valid [F])."""
+    H, W = level_img.shape
+    mask = rasterize.quad_mask(quad, H, W)
+    gmag = jnp.abs(level_grad[..., 0]) + jnp.abs(level_grad[..., 1])
+    # keep the pattern inside the image
+    u = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    inb = (u >= 2) & (u < W - 2) & (v >= 2) & (v < H - 2)
+    score = jnp.where(mask & inb, gmag, 0.0)
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, n_feat)
+    vy = idx // W
+    vx = idx - vy * W
+    uv = jnp.stack([vx, vy], -1).astype(jnp.float32)
+    valid = vals > 1e-3
+    pos = uv[:, None, :] + jnp.asarray(INTERVAL8)[None, :, :]  # [F, 8, 2]
+    inten, ok = bilinear(level_img, pos)
+    ref = (inten - mu) / sigma
+    return uv, ref, valid & ok.all(-1)
+
+
+@jax.jit
+def _theta_ransac_kernel(key, rays, rhos, valid):
+    """Batched 3-point theta RANSAC (the reference's per-box RANSAC,
+    src/initializer.cc:111-183, with closed-form CalculateTextTheta).
+
+    rays [N, 3], rhos [N], valid [N] -> (theta [3], inliers [N], ok)."""
+    N = rays.shape[0]
+    S = 64  # hypothesis count
+    g = jax.random.gumbel(key, (S, N))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, 3)  # [S, 3]
+    th = plane.solve_theta_3pt(rays[idx], rhos[idx])  # [S, 3]
+    pred = -(rays[None, :, :] * th[:, None, :]).sum(-1)  # [S, N]
+    rel = jnp.abs(pred - rhos[None, :]) / jnp.abs(rhos[None, :]).clip(1e-6)
+    inl = (rel < 0.15) & valid[None, :] & (pred > 1e-6)
+    votes = inl.sum(-1)
+    best = jnp.argmax(votes)
+    inliers = inl[best]
+    theta = plane.fit_theta_lstsq(rays, rhos, inliers.astype(rays.dtype))
+    # final inlier count with refined theta
+    pred2 = -(rays * theta).sum(-1)
+    rel2 = jnp.abs(pred2 - rhos) / jnp.abs(rhos).clip(1e-6)
+    inliers = (rel2 < 0.15) & valid & (pred2 > 1e-6)
+    ok = inliers.sum() >= 5
+    return theta, inliers, ok
+
+
+class TextFrontend:
+    def __init__(self, cfg: TextSLAMConfig, slam_map: SlamMap, tracker):
+        self.cfg = cfg
+        self.map = slam_map
+        self.tracker = tracker
+        self.levels = cfg.pyramid.pose_levels  # (2, 1, 0)
+        m = cfg.map
+        B = min(cfg.text.max_box_pixels, 1024)
+        self.B = B
+        self.tx_box_uv = np.zeros((m.max_texts, B, 2), np.float32)
+        self.tx_box_int = np.zeros((m.max_texts, B), np.float32)
+        self.tx_box_valid = np.zeros((m.max_texts, B), bool)
+        L = max(cfg.pyramid.init_ba_levels) + 1
+        self.n_levels = L
+        self.tx_host_stats = np.zeros((m.max_texts, L, 2), np.float32)
+        self._key = jax.random.PRNGKey(cfg.seed + 1)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+    def _level_K(self, level: int):
+        cam = self.cfg.camera
+        s = 2.0**level
+        return cam.fx / s, cam.fy / s, cam.cx / s, cam.cy / s
+
+    def _host_pyr(self, kid: int):
+        kf = self.map.keyframes[kid]
+        return kf.pyr_data, kf.pyr_shapes
+
+    # ------------------------------------------------------------------
+    # creation
+    def try_create_text(self, kid: int, det_idx: int, state=TEXT_IMMATURE) -> Optional[int]:
+        """Initialize a text object from scene points inside the detection box.
+
+        The constraint set is the reference's: each mapped point p seen in the
+        host KF gives (ray_r, rho_r) with -ray.theta = rho
+        (src/tracking.cc:1631-1734 uses triangulated KLT tracks the same way).
+        """
+        m = self.map
+        cam = self.cfg.camera
+        kf = m.keyframes[kid]
+        det = kf.det_text[det_idx]
+        quad = det.quad
+        # scene points observed in this KF whose keypoint is inside the quad
+        sel = np.nonzero((kf.kp_point >= 0) & kf.obs_good)[0]
+        if len(sel) == 0:
+            return None
+        inq = np.asarray(rasterize.point_in_quad(jnp.asarray(kf.kp_uv[sel]), jnp.asarray(quad)))
+        sel = sel[inq]
+        if len(sel) < 5:
+            return None
+        pids = kf.kp_point[sel]
+        xyz_w = m.point_world(pids)
+        T_rw = jnp.asarray(m.kf_pose[kid])
+        p_r = np.asarray(se3.apply(T_rw, jnp.asarray(xyz_w)))
+        good_z = p_r[:, 2] > 0.05
+        if good_z.sum() < 5:
+            return None
+        N = pad_tier(len(sel), 16)
+        rays = np.zeros((N, 3), np.float32)
+        rhos = np.zeros(N, np.float32)
+        valid = np.zeros(N, bool)
+        rays[: len(sel)] = p_r / p_r[:, 2:3]
+        rhos[: len(sel)] = 1.0 / p_r[:, 2]
+        valid[: len(sel)] = good_z
+        theta, inliers, ok = _theta_ransac_kernel(
+            self._next_key(), jnp.asarray(rays), jnp.asarray(rhos), jnp.asarray(valid)
+        )
+        if not bool(ok):
+            return None
+        theta = np.asarray(theta)
+        tid = m.add_text(kid, theta, quad, det.text, det.score, det.lang, state=state)
+        m.add_text_observation(kid, tid, det_idx)
+        self._extract_reference(tid)
+        return tid
+
+    def _extract_reference(self, tid: int):
+        """Per-level reference features + level-0 box pixels for ZNCC."""
+        m = self.map
+        kid = int(m.tx_host[tid])
+        pyr_data, pyr_shapes = self._host_pyr(kid)
+        if pyr_data is None:
+            return
+        quad0 = m.tx_quad[tid]
+        F = self.cfg.text.max_features_per_level
+        for l in range(self.n_levels):
+            s = 2.0**l
+            h, w = pyr_shapes[l]
+            img = jnp.asarray(pyr_data[l, :h, :w, 0])
+            grad = jnp.asarray(pyr_data[l, :h, :w, 1:3])
+            quad_l = jnp.asarray(quad0 / s)
+            mu, sigma, n = rasterize.quad_stats(img, quad_l)
+            self.tx_host_stats[tid, l] = (float(mu), float(sigma))
+            uv, ref, valid = extract_text_features(img, grad, quad_l, mu, sigma, F)
+            m.tx_feat_uv[tid, l] = np.asarray(uv)
+            m.tx_feat_ref[tid, l] = np.asarray(ref)
+            m.tx_feat_valid[tid, l] = np.asarray(valid)
+        # level-0 box pixels for the ZNCC gate (subsampled grid)
+        h0, w0 = pyr_shapes[0]
+        img0 = pyr_data[0, :h0, :w0, 0]
+        mask = np.asarray(rasterize.quad_mask(jnp.asarray(quad0), int(h0), int(w0)))
+        ys, xs = np.nonzero(mask)
+        if len(ys) == 0:
+            return
+        stride = max(1, len(ys) // self.B)
+        ys, xs = ys[::stride][: self.B], xs[::stride][: self.B]
+        nb = len(ys)
+        self.tx_box_uv[tid, :nb] = np.stack([xs, ys], -1)
+        self.tx_box_int[tid, :nb] = img0[ys, xs]
+        self.tx_box_valid[tid, :nb] = True
+        self.tx_box_valid[tid, nb:] = False
+
+    # ------------------------------------------------------------------
+    # geometry helpers
+    def _quad_world(self, tid: int) -> np.ndarray:
+        """Text quad corners as world points via theta."""
+        m = self.map
+        cam = self.cfg.camera
+        kid = int(m.tx_host[tid])
+        rays = np.asarray(unproject(jnp.asarray(m.tx_quad[tid]), cam.fx, cam.fy, cam.cx, cam.cy))
+        p_r = np.asarray(plane.backproject(jnp.asarray(rays), jnp.asarray(m.tx_theta[tid])))
+        T_rw = jnp.asarray(m.kf_pose[kid])
+        return np.asarray(se3.apply(se3.inverse(T_rw), jnp.asarray(p_r)))
+
+    def visible_texts(self, pose_cw: np.ndarray, frame, states=(TEXT_GOOD,)) -> List[int]:
+        """TextJudge gates: state, orientation, in-image box, ZNCC."""
+        m = self.map
+        cam = self.cfg.camera
+        out = []
+        Tcw = jnp.asarray(pose_cw.astype(np.float32))
+        for tid in range(m.n_texts):
+            if not m.tx_valid[tid] or m.tx_state[tid] not in states:
+                continue
+            Pw = self._quad_world(tid)
+            pc = np.asarray(se3.apply(Tcw, jnp.asarray(Pw)))
+            if (pc[:, 2] <= 0.05).any():
+                continue
+            uv = np.asarray(project(jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
+            mgn = self.cfg.text.in_image_margin
+            if not bool(
+                np.all((uv[:, 0] >= -mgn) & (uv[:, 0] < cam.width + mgn)
+                       & (uv[:, 1] >= -mgn) & (uv[:, 1] < cam.height + mgn))
+            ):
+                continue
+            # orientation (CheckOrientation)
+            center_w = Pw.mean(0)
+            cam_center = np.asarray(se3.apply(se3.inverse(Tcw), jnp.zeros(3)))
+            cosv = float(
+                plane.view_cos(
+                    jnp.asarray(m.tx_theta[tid]), jnp.asarray(m.kf_pose[int(m.tx_host[tid])]),
+                    jnp.asarray(cam_center.astype(np.float32)), jnp.asarray(center_w.astype(np.float32)),
+                )
+            )
+            if cosv < self.cfg.text.cos_orientation_min:
+                continue
+            # ZNCC on level-0 box pixels
+            if frame is not None and frame.pyr_data is not None:
+                sc = self._zncc_score(tid, Tcw, frame)
+                if sc < self.cfg.text.zncc_min:
+                    continue
+            out.append(tid)
+        return out
+
+    def _zncc_score(self, tid: int, Tcw, frame) -> float:
+        m = self.map
+        cam = self.cfg.camera
+        kid = int(m.tx_host[tid])
+        uv_host = self.tx_box_uv[tid]
+        rays = unproject(jnp.asarray(uv_host), cam.fx, cam.fy, cam.cx, cam.cy)
+        T_cr = se3.relative(Tcw, jnp.asarray(m.kf_pose[kid]))
+        p_c = plane.project_to_target(rays, jnp.asarray(m.tx_theta[tid]), T_cr)
+        uv_c = project(p_c, cam.fx, cam.fy, cam.cx, cam.cy)
+        h, w = frame.pyr_shapes[0]
+        img0 = jnp.asarray(frame.pyr_data[0, :h, :w, 0])
+        score, n = zncc_gate(
+            jnp.asarray(self.tx_box_int[tid]),
+            jnp.asarray(self.tx_box_valid[tid]) & (p_c[:, 2] > 0.05),
+            img0,
+            uv_c,
+        )
+        if int(n) < 16:
+            return -1.0
+        return float(score)
+
+    # ------------------------------------------------------------------
+    # observation batches for the solver
+    def build_text_obs(self, tids, target_slots, host_slots, host_in_window,
+                       host_poses, target_poses, target_pyrs, target_shapes,
+                       level: int, tid_to_lm: dict):
+        """Build a padded TextObs batch for one pyramid level.
+
+        tids/target_*: python lists per (text, target) pair. target_pyrs is
+        [K, Lh, Lw] level images (already gathered). mu/sigma computed here by
+        projecting the quad into each target (reference recomputes at problem
+        build, src/optimizer.cc:1179-1184)."""
+        m = self.map
+        cam = self.cfg.camera
+        n_pairs = len(tids)
+        if n_pairs == 0:
+            return None
+        fxl, fyl, cxl, cyl = self._level_K(level)
+        s = 2.0**level
+        F = self.cfg.text.max_features_per_level
+
+        rays_l, ref_l, val_l, ms_l = [], [], [], []
+        for p in range(n_pairs):
+            tid = tids[p]
+            uv = m.tx_feat_uv[tid, level]  # [F, 2] level px in host
+            ref = m.tx_feat_ref[tid, level]
+            fv = m.tx_feat_valid[tid, level]
+            pos = uv[:, None, :] + INTERVAL8[None, :, :]  # [F, 8, 2]
+            rays = np.asarray(unproject(jnp.asarray(pos), fxl, fyl, cxl, cyl))
+            rays_l.append(rays)
+            val_l.append(fv)
+            # target mu/sigma: project quad into target at this level
+            T_cr = se3.relative(jnp.asarray(target_poses[p]), jnp.asarray(host_poses[p]))
+            qrays = unproject(jnp.asarray(m.tx_quad[tid]), cam.fx, cam.fy, cam.cx, cam.cy)
+            p_c = plane.project_to_target(qrays, jnp.asarray(m.tx_theta[tid]), T_cr)
+            quad_t = np.asarray(project(p_c, fxl, fyl, cxl, cyl))
+            h, w = target_shapes[p]
+            mu, sigma, n = rasterize.quad_stats(
+                jnp.asarray(target_pyrs[target_slots[p]]), jnp.asarray(quad_t),
+                valid_shape=(int(h), int(w)),
+            )
+            ms_l.append((float(mu), float(sigma)))
+
+        # expand pairs x features -> observations
+        O_real = n_pairs * F
+        O = pad_tier(O_real, 64)
+        tgt = np.repeat(np.asarray(target_slots, np.int32), F)
+        host = np.repeat(np.asarray(host_slots, np.int32), F)
+        hiw = np.repeat(np.asarray(host_in_window, bool), F)
+        hpose = np.repeat(np.asarray(host_poses, np.float32), F, axis=0)
+        text_idx = np.repeat(np.asarray([tid_to_lm[t] for t in tids], np.int32), F)
+        rays = np.concatenate(rays_l, 0).astype(np.float32)  # [pairs*F, 8, 3]
+        ref = np.concatenate([m.tx_feat_ref[t, level] for t in tids], 0).astype(np.float32)
+        valid = np.concatenate(val_l, 0)
+        ms = np.repeat(np.asarray(ms_l, np.float32), F, axis=0)
+
+        def padp(a, fill=0):
+            if a.shape[0] >= O:
+                return a[:O]
+            return np.pad(a, [(0, O - a.shape[0])] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+
+        hp = padp(hpose)
+        hp[O_real:, 0] = 1.0  # identity quats in padding
+        ms_p = padp(ms)
+        ms_p[O_real:, 1] = 1.0  # sigma != 0 in padding
+        return ba.TextObs(
+            tgt=jnp.asarray(padp(tgt)),
+            host=jnp.asarray(padp(host)),
+            host_frozen_pose=jnp.asarray(hp),
+            host_in_window=jnp.asarray(padp(hiw, False)),
+            text=jnp.asarray(padp(text_idx)),
+            rays=jnp.asarray(padp(rays)),
+            ref_inten=jnp.asarray(padp(ref)),
+            mu_sigma=jnp.asarray(ms_p),
+            weight=jnp.asarray(padp(np.full(O_real, self.cfg.solver.weight_text, np.float32))),
+            valid=jnp.asarray(padp(valid, False)),
+            level=level,
+        )
+
+    def ba_text_batches(self, window_kids, slot, K):
+        """Pairs (text, target KF) for windowed BA + the compact theta pool.
+
+        A pair exists for every (KF in window, GOOD text observed there); the
+        host pose joins as a free block if in window, else frozen
+        (src/optimizer.cc:1482-1554 structure). Returns (pairs dict, tids,
+        tid_to_lm) or None."""
+        m = self.map
+        pairs_t, tgt_slots, host_slots, hiw, hposes, tposes = [], [], [], [], [], []
+        involved = set()
+        for kid in window_kids:
+            for (k, tid), det in list(m.tx_obs.items()):
+                if k != kid:
+                    continue
+                if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_GOOD:
+                    continue
+                h = int(m.tx_host[tid])
+                if h == kid:
+                    continue  # host frame residual is identically zero
+                if m.keyframes[kid].pyr_data is None:
+                    continue
+                pairs_t.append(tid)
+                tgt_slots.append(slot[kid])
+                host_slots.append(slot.get(h, K))
+                hiw.append(h in slot)
+                hposes.append(m.kf_pose[h])
+                tposes.append(m.kf_pose[kid])
+                involved.add(tid)
+        if not pairs_t:
+            return None
+        tids = sorted(involved)
+        tid_to_lm = {t: i for i, t in enumerate(tids)}
+        return {
+            "tids": pairs_t,
+            "target_slots": tgt_slots,
+            "host_slots": host_slots,
+            "host_in_window": hiw,
+            "host_poses": hposes,
+            "target_poses": tposes,
+        }, tids, tid_to_lm
+
+    def gather_level_images(self, window_kids, level):
+        """[K, H_l, W_l] level intensities for the window (zero-padded)."""
+        m = self.map
+        ref_kf = next((m.keyframes[k] for k in window_kids if m.keyframes[k].pyr_data is not None), None)
+        if ref_kf is None:
+            return None, None
+        h, w = int(ref_kf.pyr_shapes[level][0]), int(ref_kf.pyr_shapes[level][1])
+        K = len(window_kids)
+        imgs = np.zeros((K, h, w), np.float32)
+        for i, k in enumerate(window_kids):
+            kf = m.keyframes[k]
+            if kf.pyr_data is not None:
+                imgs[i] = kf.pyr_data[level, :h, :w, 0]
+        return imgs, (h, w)
+
+    # ------------------------------------------------------------------
+    # tracker hooks
+    def on_initialized(self, f1, f2, kid1, kid2):
+        """Create GOOD text objects from the first keyframe's detections
+        (InitialLandmarker text branch, src/tracking.cc:274-393)."""
+        kf1 = self.map.keyframes[kid1]
+        for d in range(len(kf1.det_text or [])):
+            self.try_create_text(kid1, d, state=TEXT_GOOD)
+        self.map.rebuild_covis_m23()
+
+    def on_frame_tracked(self, frame, good_pids, good_kps) -> np.ndarray:
+        """Joint scene+text pose refinement + observation counters."""
+        m = self.map
+        cam = self.cfg.camera
+        pose = frame.pose.copy()
+        vis = self.visible_texts(pose, frame, states=(TEXT_GOOD,))
+        if vis and frame.pyr_data is not None:
+            pose = self._pose_refine_with_text(frame, pose, good_pids, good_kps, vis)
+        # counters: good when all gates pass; bad only when the object is
+        # geometrically visible but fails the appearance (ZNCC) gate
+        geo_vis = set(self.visible_texts(pose, None, states=(TEXT_GOOD, TEXT_IMMATURE)))
+        all_vis = set(self.visible_texts(pose, frame, states=(TEXT_GOOD, TEXT_IMMATURE)))
+        for tid in geo_vis:
+            if tid in all_vis:
+                m.tx_good_obs[tid] += 1
+            else:
+                m.tx_bad_obs[tid] += 1
+        return pose
+
+    def _pose_refine_with_text(self, frame, pose, good_pids, good_kps, vis) -> np.ndarray:
+        m = self.map
+        cam = self.cfg.camera
+        scfg = self.cfg.solver
+        from .tracking import _pad, _pad_pose, pad_tier as ptier
+
+        # scene obs (same as tracker pose optimize)
+        O = ptier(max(len(good_pids), 1), 256)
+        host = m.pt_host[good_pids].clip(0)
+        obs_valid = np.zeros(O, bool)
+        obs_valid[: len(good_pids)] = True
+        scene = ba.SceneObs(
+            tgt=jnp.zeros(O, dtype=jnp.int32),
+            host=jnp.ones(O, dtype=jnp.int32),
+            host_frozen_pose=jnp.asarray(_pad_pose(m.kf_pose[host], O)),
+            host_in_window=jnp.zeros(O, dtype=bool),
+            point=jnp.asarray(_pad(good_pids.astype(np.int32), O)),
+            ray=jnp.asarray(_pad(m.pt_ray[good_pids], O)),
+            uv=jnp.asarray(_pad(frame.kp_uv[good_kps], O)),
+            weight=jnp.full(O, scfg.weight_scene, dtype=jnp.float32),
+            valid=jnp.asarray(obs_valid),
+        )
+        Pt = ptier(max(m.n_points, 1), 256)
+        rho = jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt))
+
+        tid_to_lm = {t: i for i, t in enumerate(vis)}
+        T = pad_tier(len(vis), 8)
+        theta = np.zeros((T, 3), np.float32)
+        theta[: len(vis)] = m.tx_theta[vis]
+
+        cur = pose.astype(np.float32)
+        for level in self.levels:
+            h, w = frame.pyr_shapes[level]
+            img = frame.pyr_data[level, : int(h), : int(w), 0]
+            pairs_t = list(vis)
+            tobs = self.build_text_obs(
+                tids=pairs_t,
+                target_slots=[0] * len(pairs_t),
+                host_slots=[1] * len(pairs_t),
+                host_in_window=[False] * len(pairs_t),
+                host_poses=[m.kf_pose[int(m.tx_host[t])] for t in pairs_t],
+                target_poses=[cur] * len(pairs_t),
+                target_pyrs=np.asarray(img)[None],
+                target_shapes=[(int(h), int(w))] * len(pairs_t),
+                level=level,
+                tid_to_lm=tid_to_lm,
+            )
+            prob = ba.BAProblem(
+                poses=jnp.asarray(cur)[None],
+                pose_free=jnp.ones(1, dtype=bool),
+                rho=rho,
+                rho_free=jnp.zeros(Pt, dtype=bool),
+                theta=jnp.asarray(theta),
+                theta_free=jnp.zeros(T, dtype=bool),
+                scene=scene._replace(point=scene.point.clip(0, Pt - 1)),
+                text=tobs,
+                images=jnp.asarray(img)[None],
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            )
+            st = ba.solve_ba(prob, n_iters=scfg.iters_per_level,
+                             huber_scene=scfg.huber_scene_pose,
+                             huber_text=scfg.huber_text)
+            cur = np.asarray(st.poses[0])
+        return cur
+
+    def on_keyframe(self, frame, kid: int):
+        m = self.map
+        kf = m.keyframes[kid]
+        dets = kf.det_text or []
+        if dets:
+            # data association by label lookup on projected quads
+            live = [t for t in range(m.n_texts)
+                    if m.tx_valid[t] and m.tx_state[t] != TEXT_BAD]
+            if live:
+                quads = np.stack([self._project_quad_np(t, m.kf_pose[kid]) for t in live])
+                centers = np.stack([d.quad.mean(0) for d in dets])
+                Tq = pad_tier(len(live), 8)
+                quads_p = np.zeros((Tq, 4, 2), np.float32)
+                quads_p[: len(live)] = quads
+                qv = np.zeros(Tq, bool)
+                qv[: len(live)] = True
+                lab = np.asarray(rasterize.label_lookup(
+                    jnp.asarray(quads_p), jnp.asarray(qv), jnp.asarray(centers)))
+                for d, l in enumerate(lab):
+                    if l >= 0 and l < len(live):
+                        tid = live[int(l)]
+                        m.add_text_observation(kid, tid, d)
+                        self._fuse_semantic(tid, dets[d])
+            # new objects from unassociated detections
+            for d in range(len(dets)):
+                if kf.det_object[d] < 0:
+                    self.try_create_text(kid, d, state=TEXT_IMMATURE)
+        # theta refinement + promotion for IMMATURE objects
+        self._update_immature()
+        # semantic demotion counters
+        self._semantic_conditions()
+        m.rebuild_covis_m23()
+
+    def _project_quad_np(self, tid: int, pose_cw) -> np.ndarray:
+        cam = self.cfg.camera
+        Pw = self._quad_world(tid)
+        pc = np.asarray(se3.apply(jnp.asarray(pose_cw.astype(np.float32)), jnp.asarray(Pw)))
+        return np.asarray(project(jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
+
+    def _fuse_semantic(self, tid: int, det):
+        """Keep the higher-scoring recognized string (S_mean fusion,
+        src/tracking.cc:2343-2527 simplified to argmax-score)."""
+        m = self.map
+        if det.score > m.tx_score[tid] and (det.text or "").strip() not in ("", "#"):
+            m.tx_score[tid] = det.score
+            m.tx_string[tid] = det.text
+            m.tx_lang[tid] = det.lang
+
+    def _update_immature(self):
+        """ThetaOptimMultiFs + promotion (src/tracking.cc:1920-1962)."""
+        m = self.map
+        cfg = self.cfg
+        for tid in range(m.n_texts):
+            if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_IMMATURE:
+                continue
+            obs_kfs = m.kfs_observing_text(tid)
+            if len(obs_kfs) < 2:
+                continue
+            theta_old = m.tx_theta[tid].copy()
+            theta_new, ok = self._theta_optimize(tid, obs_kfs)
+            if not ok:
+                m.tx_bad_obs[tid] += 1
+                continue
+            m.tx_theta[tid] = theta_new
+            cos = float(np.dot(theta_new, theta_old) /
+                        (np.linalg.norm(theta_new) * np.linalg.norm(theta_old) + 1e-12))
+            if cos >= cfg.text.cos_promote and len(obs_kfs) >= cfg.text.min_obs_promote:
+                m.tx_state[tid] = TEXT_GOOD
+
+    def _theta_optimize(self, tid: int, obs_kfs):
+        """theta-only refinement over observing KFs (PyrThetaOptim)."""
+        m = self.map
+        cam = self.cfg.camera
+        scfg = self.cfg.solver
+        host_kid = int(m.tx_host[tid])
+        targets = [k for k in obs_kfs if k != host_kid and m.keyframes[k].pyr_data is not None]
+        if not targets:
+            return m.tx_theta[tid], False
+        K = pad_tier(len(targets), 4)
+        theta = np.zeros((1, 3), np.float32)
+        theta[0] = m.tx_theta[tid]
+        cur_theta = jnp.asarray(theta)
+        for level in self.cfg.pyramid.theta_levels:
+            s = 2**level
+            shp = m.keyframes[targets[0]].pyr_shapes[level]
+            h, w = int(shp[0]), int(shp[1])
+            imgs = np.zeros((K, h, w), np.float32)
+            for i, k in enumerate(targets):
+                imgs[i] = m.keyframes[k].pyr_data[level, :h, :w, 0]
+            m.tx_theta[tid] = np.asarray(cur_theta[0])
+            tobs = self.build_text_obs(
+                tids=[tid] * len(targets),
+                target_slots=list(range(len(targets))),
+                host_slots=[K] * len(targets),
+                host_in_window=[False] * len(targets),
+                host_poses=[m.kf_pose[host_kid]] * len(targets),
+                target_poses=[m.kf_pose[k] for k in targets],
+                target_pyrs=imgs,
+                target_shapes=[(h, w)] * len(targets),
+                level=level,
+                tid_to_lm={tid: 0},
+            )
+            poses = np.zeros((K, 7), np.float32)
+            poses[:, 0] = 1.0
+            poses[: len(targets)] = m.kf_pose[targets]
+            prob = ba.BAProblem(
+                poses=jnp.asarray(poses),
+                pose_free=jnp.zeros(K, dtype=bool),
+                rho=jnp.zeros(16), rho_free=jnp.zeros(16, dtype=bool),
+                theta=cur_theta,
+                theta_free=jnp.ones(1, dtype=bool),
+                scene=None, text=tobs, images=jnp.asarray(imgs),
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            )
+            st = ba.solve_ba(prob, n_iters=scfg.iters_per_level,
+                             huber_text=scfg.huber_theta)
+            cur_theta = st.theta
+        th = np.asarray(cur_theta[0])
+        ok = bool(np.isfinite(th).all()) and np.linalg.norm(th) > 1e-6
+        return th, ok
+
+    def _semantic_conditions(self):
+        """Demotion thresholds {2, 0.9, 40} (src/tracking.cc:2307-2340)."""
+        m = self.map
+        t = self.cfg.text
+        for tid in range(m.n_texts):
+            if not m.tx_valid[tid] or m.tx_state[tid] == TEXT_BAD:
+                continue
+            total = int(m.tx_good_obs[tid] + m.tx_bad_obs[tid])
+            if total >= t.sem_min_total:
+                if m.tx_good_obs[tid] < t.sem_min_good or \
+                   m.tx_bad_obs[tid] / max(total, 1) > t.sem_bad_ratio:
+                    m.tx_state[tid] = TEXT_BAD

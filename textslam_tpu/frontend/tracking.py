@@ -420,6 +420,9 @@ class Tracker:
 
     loop_hook = None  # set by system when loop closing is enabled
 
+    def tracker_text_frontend(self):
+        return self.text_frontend
+
     def _triangulate_new(self, kid: int):
         """New map points between this KF and the previous KF."""
         m = self.map
@@ -453,7 +456,7 @@ class Tracker:
         if new_pids:
             m.update_covis_on_obs(cur.kid, np.asarray(new_pids))
 
-    def _local_ba(self, window_kids, fix, init_ba: bool = False):
+    def _local_ba(self, window_kids, fix, init_ba: bool = False, scene_only: bool = False):
         """Windowed joint BA; hosts outside the window are frozen
         (src/optimizer.cc:1394-1430)."""
         m = self.map
@@ -505,6 +508,13 @@ class Tracker:
         )
         pose_free = np.zeros(K, bool)
         pose_free[: len(window_kids)] = [k not in fix for k in window_kids]
+
+        # text residual batches (joint point+text BA, src/optimizer.cc PyrBA)
+        tf = self.tracker_text_frontend()
+        text_part = None
+        if tf is not None and not init_ba and not scene_only:
+            text_part = tf.ba_text_batches(window_kids, slot, K)
+
         prob = ba.BAProblem(
             poses=jnp.asarray(_pad_pose(m.kf_pose[np.asarray(window_kids)], K)),
             pose_free=jnp.asarray(pose_free),
@@ -516,8 +526,53 @@ class Tracker:
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
         )
         n_it = scfg.iters_per_level * (3 if init_ba else 2)
-        st = ba.solve_ba(prob, n_iters=n_it,
-                         huber_scene=scfg.huber_scene_init if init_ba else scfg.huber_scene_pose)
+        huber = scfg.huber_scene_init if init_ba else scfg.huber_scene_pose
+
+        if text_part is None:
+            st = ba.solve_ba(prob, n_iters=n_it, huber_scene=huber)
+        else:
+            pairs, tids, tid_to_lm = text_part
+            Tn = pad_tier(len(tids), minimum=8)
+            theta = np.zeros((Tn, 3), np.float32)
+            theta[: len(tids)] = m.tx_theta[tids]
+            theta_free = np.zeros(Tn, bool)
+            theta_free[: len(tids)] = [
+                int(m.tx_host[t]) in slot for t in tids
+            ]
+            cur = prob
+            st = None
+            for level in self.cfg.pyramid.ba_levels:
+                imgs, shape = tf.gather_level_images(window_kids, level)
+                if imgs is None:
+                    st = ba.solve_ba(cur, n_iters=n_it, huber_scene=huber)
+                    break
+                imgs_p = np.zeros((K, shape[0], shape[1]), np.float32)
+                imgs_p[: imgs.shape[0]] = imgs
+                tobs = tf.build_text_obs(
+                    tids=pairs["tids"],
+                    target_slots=pairs["target_slots"],
+                    host_slots=pairs["host_slots"],
+                    host_in_window=pairs["host_in_window"],
+                    host_poses=pairs["host_poses"],
+                    target_poses=[np.asarray(cur.poses[sl]) for sl in pairs["target_slots"]],
+                    target_pyrs=imgs_p,
+                    target_shapes=[shape] * len(pairs["tids"]),
+                    level=level,
+                    tid_to_lm=tid_to_lm,
+                )
+                cur = cur._replace(
+                    theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free),
+                    text=tobs, images=jnp.asarray(imgs_p),
+                )
+                st = ba.solve_ba(cur, n_iters=scfg.iters_per_level,
+                                 huber_scene=huber, huber_text=scfg.huber_text)
+                cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
+                theta = np.asarray(st.theta)
+            # write back thetas of in-window hosts
+            for i, t in enumerate(tids):
+                if theta_free[i] and np.isfinite(theta[i]).all():
+                    m.tx_theta[t] = theta[i]
+
         # write back
         poses = np.asarray(st.poses)
         for k, kid in enumerate(window_kids):

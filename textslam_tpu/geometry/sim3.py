@@ -68,15 +68,19 @@ def inverse(S: jnp.ndarray) -> jnp.ndarray:
 def _V_matrix(omega: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """The W matrix of the Sim3 exp/log relating translation and tangent:
     t = W u.  Closed form per Strasdat's thesis (the reference implements the
-    equivalent series at include/ModelTool.hpp:354-432)."""
-    theta = jnp.linalg.norm(omega, axis=-1)
+    equivalent series at include/ModelTool.hpp:354-432).
+
+    Gradient-safe at omega = 0 / sigma = 0 (guarded sqrt + where-branches):
+    tangent Jacobians of exp/log are evaluated at zero in every Sim3 solver."""
+    sq = (omega * omega).sum(axis=-1)
+    small_theta = sq < 1e-12
+    theta = jnp.sqrt(jnp.where(small_theta, 1.0, sq))
     s = jnp.exp(sigma)
     I = jnp.broadcast_to(jnp.eye(3), omega.shape[:-1] + (3, 3))
     wx = skew(omega)
     wx2 = wx @ wx
-    t2 = theta * theta
+    t2 = jnp.where(small_theta, 1.0, sq)
 
-    small_theta = theta < 1e-6
     small_sigma = jnp.abs(sigma) < 1e-6
 
     # A = (s-1)/sigma  (sigma->0: 1)

@@ -1,0 +1,130 @@
+"""Distributed bundle adjustment over a device mesh.
+
+SURVEY.md §2.4 mapping: the reference is single-threaded (Ceres num_threads=1,
+src/optimizer.cc:1600); here the residual/Jacobian evaluation and
+normal-equation assembly — the O(observations) work — shard across devices
+with `shard_map`, and the reduced camera system (6K x 6K, tiny) is formed by
+`psum` over the mesh, the direct analog of the reference's serial Schur
+accumulation. Landmark blocks (W, Hll, bl) are dense per-landmark arrays and
+psum the same way; the back-substitution and the small dense solve run
+replicated on every device (cheaper than gathering to one chip).
+
+Collectives ride ICI within a slice; with `jax.distributed` + a multi-host
+mesh the same code spans DCN (no code change — XLA lowers the psum).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..geometry import se3
+from ..solver import ba
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def pad_obs_to_shards(scene: ba.SceneObs, n_shards: int) -> ba.SceneObs:
+    """Pad the observation batch so its length divides the mesh size."""
+    O = scene.tgt.shape[0]
+    Opad = ((O + n_shards - 1) // n_shards) * n_shards
+    if Opad == O:
+        return scene
+
+    def fix(x, fill=0):
+        pad = [(0, Opad - O)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=fill)
+
+    hp = fix(scene.host_frozen_pose)
+    hp = hp.at[O:, 0].set(1.0)
+    return ba.SceneObs(
+        tgt=fix(scene.tgt), host=fix(scene.host), host_frozen_pose=hp,
+        host_in_window=fix(scene.host_in_window, False), point=fix(scene.point),
+        ray=fix(scene.ray), uv=fix(scene.uv), weight=fix(scene.weight),
+        valid=fix(scene.valid, False),
+    )
+
+
+def sharded_scene_normal_eqs(problem: ba.BAProblem, mesh: Mesh, huber: float):
+    """Scene-family normal equations with observation-parallel assembly.
+
+    Observations shard along the mesh's data axis; poses/rho replicate.
+    Returns replicated (Hcc [n, n], bc [n], W [P, n, 1], Hll [P, 1, 1],
+    bl [P, 1], cost)."""
+    K = problem.poses.shape[0]
+    Pn = problem.rho.shape[0]
+    axis = mesh.axis_names[0]
+    scene = pad_obs_to_shards(problem.scene, mesh.devices.size)
+
+    obs_spec = jax.tree.map(lambda _: P(axis), scene)
+    obs_spec = ba.SceneObs(*[P(axis)] * len(scene))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(obs_spec, P(), P(), P()),
+        out_specs=P(),
+    )
+    def assemble(scene_shard, poses, rho, rho_free):
+        prob = problem._replace(
+            poses=poses, rho=rho, rho_free=rho_free, scene=scene_shard
+        )
+        ts = ba.scene_terms(prob, huber)
+        Hcc, bc = ba.assemble_camera_system(ts, scene_shard.tgt, scene_shard.host, K)
+        W, Hll, bl = ba.assemble_landmark_system(
+            ts, scene_shard.tgt, scene_shard.host, scene_shard.point, Pn, K, 1
+        )
+        cost = ts["cost"].sum()
+        return (
+            jax.lax.psum(Hcc, axis),
+            jax.lax.psum(bc, axis),
+            jax.lax.psum(W, axis),
+            jax.lax.psum(Hll, axis),
+            jax.lax.psum(bl, axis),
+            jax.lax.psum(cost, axis),
+        )
+
+    return assemble(scene, problem.poses, problem.rho, problem.rho_free)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "huber", "lam"))
+def sharded_ba_step(problem: ba.BAProblem, mesh: Mesh, huber: float = 2.447, lam: float = 1e-4):
+    """One damped GN step of scene BA with sharded assembly.
+
+    The full multi-chip 'training step': sharded residual/Jacobian eval,
+    psum-reduced Schur system, replicated solve + landmark back-substitution.
+    Returns (poses, rho, cost)."""
+    K = problem.poses.shape[0]
+    n = 6 * (K + 1)
+    Hcc, bc, W, Hll, bl, cost = sharded_scene_normal_eqs(problem, mesh, huber)
+
+    free_mask = jnp.concatenate([jnp.repeat(problem.pose_free, 6), jnp.zeros(6, dtype=bool)])
+    Hr_d = Hll[:, 0, 0] * (1.0 + lam) + 1e-8
+    Hr_inv = jnp.where(Hll[:, 0, 0] > 1e-12, 1.0 / Hr_d, 0.0)
+    H_red = Hcc - jnp.einsum("pid,p,pjd->ij", W, Hr_inv, W)
+    b_red = bc - jnp.einsum("pid,p,pd->i", W, Hr_inv, bl)
+    diag = jnp.diagonal(H_red)
+    diag_safe = jnp.where(free_mask & (diag > 1e-12), diag, 1.0)
+    Dinv = 1.0 / jnp.sqrt(diag_safe)
+    Hs = H_red * Dinv[:, None] * Dinv[None, :]
+    Hs = jnp.where(free_mask[:, None] & free_mask[None, :], Hs, 0.0)
+    Hs = Hs + (lam + 1e-8) * jnp.eye(n) + jnp.diag(~free_mask * 1.0)
+    bs = jnp.where(free_mask, b_red * Dinv, 0.0)
+    delta_c = jnp.linalg.solve(Hs, -bs) * Dinv * free_mask
+    drho = Hr_inv * (-bl[:, 0] - jnp.einsum("pid,i->pd", W, delta_c)[:, 0])
+
+    d = delta_c[: 6 * K].reshape(K, 6) * problem.pose_free[:, None]
+    poses = jnp.where(problem.pose_free[:, None], se3.retract(problem.poses, d), problem.poses)
+    rho = problem.rho + drho * problem.rho_free
+    return poses, rho, cost

@@ -30,13 +30,11 @@ class TextSLAM:
             from .frontend.text import TextFrontend
 
             self.tracker.text_frontend = TextFrontend(cfg, self.map, self.tracker)
-        try:
-            from .loop.closing import LoopCloser
+        from .loop.closing import LoopCloser
 
-            self.loop_closer = LoopCloser(cfg, self.map)
-            self.tracker.loop_hook = self._on_keyframe
-        except ImportError:
-            self.loop_closer = None
+        self.loop_closer = LoopCloser(cfg, self.map)
+        self.loop_closer.tracker = self.tracker
+        self.tracker.loop_hook = self._on_keyframe
 
     def _on_keyframe(self, kid: int):
         if self.loop_closer is not None and not self.cfg.no_text:
