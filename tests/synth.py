@@ -122,7 +122,9 @@ class TextWorld(PlaneWorld):
                     [[bx, by], [bx + bw, by], [bx + bw, by + bh], [bx, by + bh]],
                     np.float32,
                 )
-                self.boxes.append((pi, quad_tex, TEXT_STRINGS[si % len(TEXT_STRINGS)]))
+                base = TEXT_STRINGS[si % len(TEXT_STRINGS)]
+                # unique strings so tests can map box -> GT plane 1:1
+                self.boxes.append((pi, quad_tex, f"{base}{si}"))
                 si += 1
 
     def detections(self, pose_cw: np.ndarray, margin=8.0):

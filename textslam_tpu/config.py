@@ -150,7 +150,7 @@ class TextConfig:
     sem_min_total: int = 40
     # padded capacities
     max_objects: int = 512
-    max_features_per_level: int = 256  # direct features per object per pyramid level
+    max_features_per_level: int = 64  # direct features per object per pyramid level
     max_box_pixels: int = 4096  # level-0 in-box pixels for ZNCC
     max_detections_per_frame: int = 64
 

@@ -82,6 +82,65 @@ def extract_text_features(level_img, level_grad, quad, mu, sigma, n_feat: int):
 
 
 @jax.jit
+def _batch_mu_sigma(images, tgt_idx, quads):
+    """(mu, sigma) of each projected quad in its target level image.
+
+    images [K, H, W], tgt_idx [p], quads [p, 4, 2] -> (mu [p], sigma [p]).
+    One jitted vmap instead of a python loop of un-jitted quad_stats calls."""
+
+    def one(ti, q):
+        mu, sigma, n = rasterize.quad_stats(images[ti], q)
+        return mu, sigma
+
+    return jax.vmap(one)(tgt_idx, quads)
+
+
+@jax.jit
+def _batch_project_quads(quads_px, thetas, host_poses, target_pose, fx, fy, cx, cy):
+    """Project text quads host->target via their planes.
+
+    quads_px [T, 4, 2] host level-0 px, thetas [T, 3], host_poses [T, 7],
+    target_pose [7] -> (uv [T, 4, 2], z [T, 4]) at level-0 scale."""
+    rays = unproject(quads_px, fx, fy, cx, cy)
+    T_cr = se3.relative(target_pose[None, :], host_poses)  # [T, 7]
+    p_c = plane.project_to_target(rays, thetas[:, None, :], T_cr[:, None, :])
+    return project(p_c, fx, fy, cx, cy), p_c[..., 2]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _gates_kernel(pose_cw, quads, thetas, host_poses, live,
+                  box_uv, box_int, box_valid, img0,
+                  fx, fy, cx, cy, margin, cos_min, zncc_min,
+                  width: int, height: int):
+    """All TextJudge gates for the whole text pool in one pass.
+
+    Returns (geo_visible [T], fully_visible [T], zncc [T])."""
+    uv, z = _batch_project_quads(quads, thetas, host_poses, pose_cw, fx, fy, cx, cy)
+    in_img = (
+        (uv[..., 0] >= -margin) & (uv[..., 0] < width + margin)
+        & (uv[..., 1] >= -margin) & (uv[..., 1] < height + margin)
+    ).all(-1) & (z > 0.05).all(-1)
+    # orientation (CheckOrientation): world normal vs viewing ray at center
+    rays = unproject(quads, fx, fy, cx, cy)
+    p_r = plane.backproject(rays, thetas[:, None, :])
+    Pw = se3.apply(se3.inverse(host_poses)[:, None, :], p_r)
+    center_w = Pw.mean(axis=1)
+    cam_center = se3.apply(se3.inverse(pose_cw), jnp.zeros(3))
+    cosv = plane.view_cos(thetas, host_poses, cam_center[None, :], center_w)
+    geo = live & in_img & (cosv >= cos_min)
+    # ZNCC on level-0 box pixels through the plane
+    brays = unproject(box_uv, fx, fy, cx, cy)
+    T_cr = se3.relative(pose_cw[None, :], host_poses)
+    p_c = plane.project_to_target(brays, thetas[:, None, :], T_cr[:, None, :])
+    uv_c = project(p_c, fx, fy, cx, cy)
+    from ..ops.zncc import zncc_gate as _zg
+
+    sc, n = _zg(box_int, box_valid & (p_c[..., 2] > 0.05), img0, uv_c)
+    full = geo & (sc >= zncc_min) & (n >= 16)
+    return geo, full, sc
+
+
+@jax.jit
 def _theta_ransac_kernel(key, rays, rhos, valid):
     """Batched 3-point theta RANSAC (the reference's per-box RANSAC,
     src/initializer.cc:111-183, with closed-form CalculateTextTheta).
@@ -234,120 +293,104 @@ class TextFrontend:
         T_rw = jnp.asarray(m.kf_pose[kid])
         return np.asarray(se3.apply(se3.inverse(T_rw), jnp.asarray(p_r)))
 
+    def _gates(self, pose_cw: np.ndarray, frame):
+        """Run the batched gate kernel over the padded text pool.
+
+        Returns (geo [T], full [T]) numpy masks over live objects (ZNCC gate
+        requires a frame with a pyramid; without one full == geo)."""
+        m = self.map
+        cam = self.cfg.camera
+        n = max(m.n_texts, 1)
+        Tt = pad_tier(n, 8)
+        quads = np.zeros((Tt, 4, 2), np.float32)
+        thetas = np.zeros((Tt, 3), np.float32)
+        thetas[:, 2] = -1.0  # benign placeholder plane
+        hposes = np.zeros((Tt, 7), np.float32)
+        hposes[:, 0] = 1.0
+        live = np.zeros(Tt, bool)
+        quads[: m.n_texts] = m.tx_quad[: m.n_texts]
+        thetas[: m.n_texts] = m.tx_theta[: m.n_texts]
+        host = m.tx_host[: m.n_texts].clip(0)
+        hposes[: m.n_texts] = m.kf_pose[host]
+        live[: m.n_texts] = m.tx_valid[: m.n_texts] & (m.tx_state[: m.n_texts] != TEXT_BAD)
+        if frame is not None and frame.pyr_data is not None:
+            h, w = int(frame.pyr_shapes[0][0]), int(frame.pyr_shapes[0][1])
+            img0 = jnp.asarray(frame.pyr_data[0, :h, :w, 0])
+        else:
+            img0 = jnp.zeros((8, 8), jnp.float32)
+        geo, full, sc = _gates_kernel(
+            jnp.asarray(pose_cw.astype(np.float32)),
+            jnp.asarray(quads), jnp.asarray(thetas), jnp.asarray(hposes),
+            jnp.asarray(live),
+            jnp.asarray(self.tx_box_uv[:Tt] if Tt <= self.tx_box_uv.shape[0] else np.zeros((Tt, self.B, 2), np.float32)),
+            jnp.asarray(self.tx_box_int[:Tt] if Tt <= self.tx_box_int.shape[0] else np.zeros((Tt, self.B), np.float32)),
+            jnp.asarray(self.tx_box_valid[:Tt] if Tt <= self.tx_box_valid.shape[0] else np.zeros((Tt, self.B), bool)),
+            img0,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            self.cfg.text.in_image_margin,
+            self.cfg.text.cos_orientation_min,
+            self.cfg.text.zncc_min,
+            cam.width, cam.height,
+        )
+        geo = np.asarray(geo)[: m.n_texts]
+        full = np.asarray(full)[: m.n_texts] if frame is not None else geo
+        return geo, full
+
     def visible_texts(self, pose_cw: np.ndarray, frame, states=(TEXT_GOOD,)) -> List[int]:
         """TextJudge gates: state, orientation, in-image box, ZNCC."""
         m = self.map
-        cam = self.cfg.camera
-        out = []
-        Tcw = jnp.asarray(pose_cw.astype(np.float32))
-        for tid in range(m.n_texts):
-            if not m.tx_valid[tid] or m.tx_state[tid] not in states:
-                continue
-            Pw = self._quad_world(tid)
-            pc = np.asarray(se3.apply(Tcw, jnp.asarray(Pw)))
-            if (pc[:, 2] <= 0.05).any():
-                continue
-            uv = np.asarray(project(jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
-            mgn = self.cfg.text.in_image_margin
-            if not bool(
-                np.all((uv[:, 0] >= -mgn) & (uv[:, 0] < cam.width + mgn)
-                       & (uv[:, 1] >= -mgn) & (uv[:, 1] < cam.height + mgn))
-            ):
-                continue
-            # orientation (CheckOrientation)
-            center_w = Pw.mean(0)
-            cam_center = np.asarray(se3.apply(se3.inverse(Tcw), jnp.zeros(3)))
-            cosv = float(
-                plane.view_cos(
-                    jnp.asarray(m.tx_theta[tid]), jnp.asarray(m.kf_pose[int(m.tx_host[tid])]),
-                    jnp.asarray(cam_center.astype(np.float32)), jnp.asarray(center_w.astype(np.float32)),
-                )
-            )
-            if cosv < self.cfg.text.cos_orientation_min:
-                continue
-            # ZNCC on level-0 box pixels
-            if frame is not None and frame.pyr_data is not None:
-                sc = self._zncc_score(tid, Tcw, frame)
-                if sc < self.cfg.text.zncc_min:
-                    continue
-            out.append(tid)
-        return out
-
-    def _zncc_score(self, tid: int, Tcw, frame) -> float:
-        m = self.map
-        cam = self.cfg.camera
-        kid = int(m.tx_host[tid])
-        uv_host = self.tx_box_uv[tid]
-        rays = unproject(jnp.asarray(uv_host), cam.fx, cam.fy, cam.cx, cam.cy)
-        T_cr = se3.relative(Tcw, jnp.asarray(m.kf_pose[kid]))
-        p_c = plane.project_to_target(rays, jnp.asarray(m.tx_theta[tid]), T_cr)
-        uv_c = project(p_c, cam.fx, cam.fy, cam.cx, cam.cy)
-        h, w = frame.pyr_shapes[0]
-        img0 = jnp.asarray(frame.pyr_data[0, :h, :w, 0])
-        score, n = zncc_gate(
-            jnp.asarray(self.tx_box_int[tid]),
-            jnp.asarray(self.tx_box_valid[tid]) & (p_c[:, 2] > 0.05),
-            img0,
-            uv_c,
-        )
-        if int(n) < 16:
-            return -1.0
-        return float(score)
+        geo, full = self._gates(pose_cw, frame)
+        mask = full if frame is not None else geo
+        return [t for t in range(m.n_texts) if mask[t] and m.tx_state[t] in states]
 
     # ------------------------------------------------------------------
     # observation batches for the solver
     def build_text_obs(self, tids, target_slots, host_slots, host_in_window,
                        host_poses, target_poses, target_pyrs, target_shapes,
                        level: int, tid_to_lm: dict):
-        """Build a padded TextObs batch for one pyramid level.
-
-        tids/target_*: python lists per (text, target) pair. target_pyrs is
-        [K, Lh, Lw] level images (already gathered). mu/sigma computed here by
-        projecting the quad into each target (reference recomputes at problem
-        build, src/optimizer.cc:1179-1184)."""
+        """Build a padded TextObs batch for one pyramid level (fully batched:
+        one kernel for quad projection, one for mu/sigma, numpy reshapes for
+        the rest). mu/sigma are recomputed from the current estimates at
+        problem build, matching src/optimizer.cc:1179-1184."""
         m = self.map
         cam = self.cfg.camera
         n_pairs = len(tids)
         if n_pairs == 0:
             return None
         fxl, fyl, cxl, cyl = self._level_K(level)
-        s = 2.0**level
+        sc = 2.0**level
         F = self.cfg.text.max_features_per_level
+        tids_np = np.asarray(tids, np.int64)
+        hposes = np.asarray(host_poses, np.float32)
+        tposes = np.asarray(target_poses, np.float32)
 
-        rays_l, ref_l, val_l, ms_l = [], [], [], []
-        for p in range(n_pairs):
-            tid = tids[p]
-            uv = m.tx_feat_uv[tid, level]  # [F, 2] level px in host
-            ref = m.tx_feat_ref[tid, level]
-            fv = m.tx_feat_valid[tid, level]
-            pos = uv[:, None, :] + INTERVAL8[None, :, :]  # [F, 8, 2]
-            rays = np.asarray(unproject(jnp.asarray(pos), fxl, fyl, cxl, cyl))
-            rays_l.append(rays)
-            val_l.append(fv)
-            # target mu/sigma: project quad into target at this level
-            T_cr = se3.relative(jnp.asarray(target_poses[p]), jnp.asarray(host_poses[p]))
-            qrays = unproject(jnp.asarray(m.tx_quad[tid]), cam.fx, cam.fy, cam.cx, cam.cy)
-            p_c = plane.project_to_target(qrays, jnp.asarray(m.tx_theta[tid]), T_cr)
-            quad_t = np.asarray(project(p_c, fxl, fyl, cxl, cyl))
-            h, w = target_shapes[p]
-            mu, sigma, n = rasterize.quad_stats(
-                jnp.asarray(target_pyrs[target_slots[p]]), jnp.asarray(quad_t),
-                valid_shape=(int(h), int(w)),
-            )
-            ms_l.append((float(mu), float(sigma)))
+        # target-frame (mu, sigma): project quads via planes with per-pair
+        # target poses (batched relative transform)
+        qrays = unproject(jnp.asarray(m.tx_quad[tids_np]), cam.fx, cam.fy, cam.cx, cam.cy)
+        T_cr = se3.relative(jnp.asarray(tposes), jnp.asarray(hposes))
+        p_cq = plane.project_to_target(qrays, jnp.asarray(m.tx_theta[tids_np])[:, None, :], T_cr[:, None, :])
+        quad_t = np.asarray(project(p_cq, fxl, fyl, cxl, cyl))
+        mu, sigma = _batch_mu_sigma(
+            jnp.asarray(target_pyrs), jnp.asarray(np.asarray(target_slots, np.int32)),
+            jnp.asarray(quad_t),
+        )
+        ms = np.stack([np.asarray(mu), np.asarray(sigma).clip(1e-3)], -1)  # [p, 2]
 
-        # expand pairs x features -> observations
+        # pattern rays for all pairs at once
+        uv = m.tx_feat_uv[tids_np, level]  # [p, F, 2]
+        pos = uv[:, :, None, :] + INTERVAL8[None, None, :, :]  # [p, F, 8, 2]
+        rays = np.asarray(unproject(jnp.asarray(pos), fxl, fyl, cxl, cyl))
+        ref = m.tx_feat_ref[tids_np, level]  # [p, F, 8]
+        fvalid = m.tx_feat_valid[tids_np, level]  # [p, F]
+
         O_real = n_pairs * F
         O = pad_tier(O_real, 64)
         tgt = np.repeat(np.asarray(target_slots, np.int32), F)
         host = np.repeat(np.asarray(host_slots, np.int32), F)
         hiw = np.repeat(np.asarray(host_in_window, bool), F)
-        hpose = np.repeat(np.asarray(host_poses, np.float32), F, axis=0)
+        hpose = np.repeat(hposes, F, axis=0)
         text_idx = np.repeat(np.asarray([tid_to_lm[t] for t in tids], np.int32), F)
-        rays = np.concatenate(rays_l, 0).astype(np.float32)  # [pairs*F, 8, 3]
-        ref = np.concatenate([m.tx_feat_ref[t, level] for t in tids], 0).astype(np.float32)
-        valid = np.concatenate(val_l, 0)
-        ms = np.repeat(np.asarray(ms_l, np.float32), F, axis=0)
+        ms_r = np.repeat(ms.astype(np.float32), F, axis=0)
 
         def padp(a, fill=0):
             if a.shape[0] >= O:
@@ -355,20 +398,20 @@ class TextFrontend:
             return np.pad(a, [(0, O - a.shape[0])] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
 
         hp = padp(hpose)
-        hp[O_real:, 0] = 1.0  # identity quats in padding
-        ms_p = padp(ms)
-        ms_p[O_real:, 1] = 1.0  # sigma != 0 in padding
+        hp[O_real:, 0] = 1.0
+        ms_p = padp(ms_r)
+        ms_p[O_real:, 1] = 1.0
         return ba.TextObs(
             tgt=jnp.asarray(padp(tgt)),
             host=jnp.asarray(padp(host)),
             host_frozen_pose=jnp.asarray(hp),
             host_in_window=jnp.asarray(padp(hiw, False)),
             text=jnp.asarray(padp(text_idx)),
-            rays=jnp.asarray(padp(rays)),
-            ref_inten=jnp.asarray(padp(ref)),
+            rays=jnp.asarray(padp(rays.reshape(O_real, 8, 3).astype(np.float32))),
+            ref_inten=jnp.asarray(padp(ref.reshape(O_real, 8).astype(np.float32))),
             mu_sigma=jnp.asarray(ms_p),
             weight=jnp.asarray(padp(np.full(O_real, self.cfg.solver.weight_text, np.float32))),
-            valid=jnp.asarray(padp(valid, False)),
+            valid=jnp.asarray(padp(fvalid.reshape(O_real), False)),
             level=level,
         )
 
@@ -441,17 +484,16 @@ class TextFrontend:
     def on_frame_tracked(self, frame, good_pids, good_kps) -> np.ndarray:
         """Joint scene+text pose refinement + observation counters."""
         m = self.map
-        cam = self.cfg.camera
         pose = frame.pose.copy()
-        vis = self.visible_texts(pose, frame, states=(TEXT_GOOD,))
+        geo, full = self._gates(pose, frame)
+        vis = [t for t in range(m.n_texts) if full[t] and m.tx_state[t] == TEXT_GOOD]
         if vis and frame.pyr_data is not None:
             pose = self._pose_refine_with_text(frame, pose, good_pids, good_kps, vis)
-        # counters: good when all gates pass; bad only when the object is
-        # geometrically visible but fails the appearance (ZNCC) gate
-        geo_vis = set(self.visible_texts(pose, None, states=(TEXT_GOOD, TEXT_IMMATURE)))
-        all_vis = set(self.visible_texts(pose, frame, states=(TEXT_GOOD, TEXT_IMMATURE)))
-        for tid in geo_vis:
-            if tid in all_vis:
+            geo, full = self._gates(pose, frame)
+        # counters: good when all gates pass; bad only when geometrically
+        # visible but failing the appearance (ZNCC) gate
+        for tid in np.nonzero(geo)[0]:
+            if full[tid]:
                 m.tx_good_obs[tid] += 1
             else:
                 m.tx_bad_obs[tid] += 1
