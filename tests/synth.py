@@ -162,6 +162,11 @@ def camera_path(n_frames: int, kind="lateral"):
         elif kind == "forward":
             t_wc = np.array([0.2 * s, 0.0, 1.5 * s])
             w = np.array([0.0, 0.05 * s, 0.0])
+        elif kind == "outback":
+            # out along +x then back to the start (loop-closure fixture)
+            u = 2 * s if s <= 0.5 else 2 * (1 - s)
+            t_wc = np.array([1.0 * u, 0.05 * np.sin(np.pi * u), 0.15 * u])
+            w = np.array([0.0, -0.2 * u, 0.0])
         else:
             raise ValueError(kind)
         q = np.array(qexp(jnp.asarray(w)))

@@ -1,0 +1,111 @@
+"""End-to-end loop closing on an out-and-back sequence.
+
+Deterministic duplicated-map scenario: on the return leg the tracker is
+blinded to landmarks hosted in early keyframes ("amnesia"), so it rebuilds a
+duplicate map of the same scene. The semantic loop closer must then detect
+the revisit from text strings (Levenshtein voting with covisibility
+exclusion), estimate the Sim3 (≈ identity here — the non-trivial Sim3 path is
+covered by test_sim3_opt), fuse duplicate landmarks and run the pose graph +
+global refinement without degrading the trajectory.
+"""
+
+import dataclasses
+import numpy as np
+import pytest
+
+from textslam_tpu.config import TextSLAMConfig, CameraConfig, LoopConfig
+import synth
+
+
+def make_cfg():
+    return TextSLAMConfig(
+        no_text=False,
+        camera=CameraConfig(fx=synth.FX, fy=synth.FY, cx=synth.CX, cy=synth.CY,
+                            width=synth.W, height=synth.H, fps=6.0),
+        loop=LoopConfig(min_kfs_before_loop=6, min_kfs_between_loops=5),
+    )
+
+
+@pytest.fixture(scope="module")
+def result():
+    from textslam_tpu.system import TextSLAM
+
+    frames, dets, gt, world = synth.render_text_sequence(n_frames=36, seed=0, kind="outback")
+    slam = TextSLAM(make_cfg())
+    tr = slam.tracker
+
+    orig_match = tr._match_map
+    amnesia = {"cutoff": None}
+
+    def match_with_amnesia(frame, guess, radius_scale=1.0):
+        pids, idx, ok = orig_match(frame, guess, radius_scale)
+        cut = amnesia["cutoff"]
+        if cut is not None:
+            m = slam.map
+            host = np.where(pids < m.n_points, m.pt_host[pids.clip(0, max(m.n_points - 1, 0))], -1)
+            ok = ok & ~((host >= 0) & (host < cut))
+        return pids, idx, ok
+
+    tr._match_map = match_with_amnesia
+
+    tf = tr.text_frontend
+    orig_gates = tf._gates
+
+    def gates_with_amnesia(pose_cw, frame):
+        geo, full = orig_gates(pose_cw, frame)
+        cut = amnesia["cutoff"]
+        if cut is not None:
+            m = slam.map
+            old = m.tx_host[: m.n_texts] < cut
+            geo = geo & ~old
+            full = full & ~old
+        return geo, full
+
+    tf._gates = gates_with_amnesia
+
+    quarter = len(frames) // 4
+    half = len(frames) // 2
+    cutoff_at_quarter = None
+    for i, img in enumerate(frames):
+        if i == quarter:
+            cutoff_at_quarter = len(slam.map.keyframes)
+        if i == half:
+            # forget only the FIRST leg's landmarks: mid-sequence landmarks
+            # keep tracking alive, the start region gets duplicated on return
+            amnesia["cutoff"] = cutoff_at_quarter
+        slam.track_monocular(img, float(i), detections=dets[i])
+    # lift amnesia before final asserts so evaluation sees the true state
+    amnesia["cutoff"] = None
+    return slam, gt, world
+
+
+class TestLoopClosing:
+    def test_loop_detected_and_closed(self, result):
+        slam, gt, world = result
+        assert slam.loop_closer.closed_loops, "no loop closed"
+        cur, cand = slam.loop_closer.closed_loops[0]
+        assert cand < cur
+
+    def test_landmarks_fused(self, result):
+        slam, gt, world = result
+        m = slam.map
+        # fusion marks replaced points/texts invalid
+        assert m.pt_bad[: m.n_points].sum() > 0 or (~m.tx_valid[: m.n_texts]).sum() > 0
+
+    def test_trajectory_still_accurate(self, result):
+        slam, gt, world = result
+        m = slam.map
+        kts = np.array([kf.timestamp for kf in m.keyframes])
+        kposes = np.stack([m.kf_pose[kf.kid] for kf in m.keyframes])
+        assert np.isfinite(kposes).all()
+        ate = synth.ate_rmse(kts, kposes, gt)
+        assert ate < 0.03, f"post-loop KF ATE {ate}"
+
+    def test_covisibility_bridged(self, result):
+        slam, gt, world = result
+        m = slam.map
+        cur, cand = slam.loop_closer.closed_loops[0]
+        K = len(m.keyframes)
+        # after fusion + rebuild, the two legs share landmarks
+        bridge = m.M1[:cand + 1, cand + 1:K].sum() + m.M2[:cand + 1, cand + 1:K].sum()
+        assert bridge > 0

@@ -89,7 +89,7 @@ def _batch_mu_sigma(images, tgt_idx, quads):
     One jitted vmap instead of a python loop of un-jitted quad_stats calls."""
 
     def one(ti, q):
-        mu, sigma, n = rasterize.quad_stats(images[ti], q)
+        mu, sigma, n = rasterize.quad_stats(images[ti, ..., 0], q)
         return mu, sigma
 
     return jax.vmap(one)(tgt_idx, quads)
@@ -464,11 +464,11 @@ class TextFrontend:
             return None, None
         h, w = int(ref_kf.pyr_shapes[level][0]), int(ref_kf.pyr_shapes[level][1])
         K = len(window_kids)
-        imgs = np.zeros((K, h, w), np.float32)
+        imgs = np.zeros((K, h, w, 3), np.float32)
         for i, k in enumerate(window_kids):
             kf = m.keyframes[k]
             if kf.pyr_data is not None:
-                imgs[i] = kf.pyr_data[level, :h, :w, 0]
+                imgs[i] = kf.pyr_data[level, :h, :w, :3]
         return imgs, (h, w)
 
     # ------------------------------------------------------------------
@@ -532,7 +532,7 @@ class TextFrontend:
         cur = pose.astype(np.float32)
         for level in self.levels:
             h, w = frame.pyr_shapes[level]
-            img = frame.pyr_data[level, : int(h), : int(w), 0]
+            img = frame.pyr_data[level, : int(h), : int(w), :3]
             pairs_t = list(vis)
             tobs = self.build_text_obs(
                 tids=pairs_t,
@@ -569,9 +569,13 @@ class TextFrontend:
         kf = m.keyframes[kid]
         dets = kf.det_text or []
         if dets:
-            # data association by label lookup on projected quads
+            # data association by label lookup on projected quads; only
+            # geometrically visible objects may claim a detection (the
+            # reference's label image contains exactly the projected live
+            # quads — an object behind the camera must not associate)
+            geo, _ = self._gates(frame.pose, None)
             live = [t for t in range(m.n_texts)
-                    if m.tx_valid[t] and m.tx_state[t] != TEXT_BAD]
+                    if geo[t] and m.tx_valid[t] and m.tx_state[t] != TEXT_BAD]
             if live:
                 quads = np.stack([self._project_quad_np(t, m.kf_pose[kid]) for t in live])
                 centers = np.stack([d.quad.mean(0) for d in dets])
@@ -650,9 +654,9 @@ class TextFrontend:
             s = 2**level
             shp = m.keyframes[targets[0]].pyr_shapes[level]
             h, w = int(shp[0]), int(shp[1])
-            imgs = np.zeros((K, h, w), np.float32)
+            imgs = np.zeros((K, h, w, 3), np.float32)
             for i, k in enumerate(targets):
-                imgs[i] = m.keyframes[k].pyr_data[level, :h, :w, 0]
+                imgs[i] = m.keyframes[k].pyr_data[level, :h, :w, :3]
             m.tx_theta[tid] = np.asarray(cur_theta[0])
             tobs = self.build_text_obs(
                 tids=[tid] * len(targets),

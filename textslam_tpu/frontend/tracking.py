@@ -546,7 +546,7 @@ class Tracker:
                 if imgs is None:
                     st = ba.solve_ba(cur, n_iters=n_it, huber_scene=huber)
                     break
-                imgs_p = np.zeros((K, shape[0], shape[1]), np.float32)
+                imgs_p = np.zeros((K, shape[0], shape[1], 3), np.float32)
                 imgs_p[: imgs.shape[0]] = imgs
                 tobs = tf.build_text_obs(
                     tids=pairs["tids"],

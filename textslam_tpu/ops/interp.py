@@ -52,3 +52,32 @@ def bilinear_packed(pyr_data: jnp.ndarray, pyr_shapes: jnp.ndarray, level, uv: j
     w = pyr_shapes[level, 1]
     vals, mask = bilinear(img, uv, valid_shape=(h, w))
     return vals[..., 0], vals[..., 1], vals[..., 2], mask
+
+
+def bilinear_stack(imgs: jnp.ndarray, k, uv: jnp.ndarray):
+    """Bilinear-sample image k of a stack imgs [K, H, W] or [K, H, W, C] at
+    uv [..., 2] (channels sampled together).
+
+    The stack index joins the gather (pointwise) instead of materializing
+    imgs[k] — vmapping imgs[k] per observation would copy a full image per
+    row (catastrophic on TPU HBM)."""
+    H, W = imgs.shape[1], imgs.shape[2]
+    mc = imgs.ndim == 4
+    u = uv[..., 0]
+    v = uv[..., 1]
+    mask = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    u = u.clip(0.0, W - 1)
+    v = v.clip(0.0, H - 1)
+    u0 = jnp.floor(u).astype(jnp.int32).clip(0, W - 2)
+    v0 = jnp.floor(v).astype(jnp.int32).clip(0, H - 2)
+    du = (u - u0)[..., None] if mc else (u - u0)
+    dv = (v - v0)[..., None] if mc else (v - v0)
+    i00 = imgs[k, v0, u0]
+    i01 = imgs[k, v0, u0 + 1]
+    i10 = imgs[k, v0 + 1, u0]
+    i11 = imgs[k, v0 + 1, u0 + 1]
+    top = i00 + du * (i01 - i00)
+    bot = i10 + du * (i11 - i10)
+    out = top + dv * (bot - top)
+    m = mask[..., None] if mc else mask
+    return jnp.where(m, out, 0.0), mask

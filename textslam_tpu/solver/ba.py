@@ -41,7 +41,32 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from ..geometry.camera import project
-from ..ops.interp import bilinear
+from ..ops.interp import bilinear, bilinear_stack
+
+
+def inv3x3_spd(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched symmetric 3x3 blocks (adjugate/det).
+
+    Replaces jnp.linalg.pinv (SVD) in the Schur elimination — TPU-hostile.
+    Blocks with ~zero determinant return 0 (landmark unobserved)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e = A[..., 1, 1], A[..., 1, 2]
+    f = A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    ok = jnp.abs(det) > 1e-10
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    adj = jnp.stack([
+        co00, co01, co02,
+        co01, co11, co12,
+        co02, co12, co22,
+    ], axis=-1).reshape(A.shape[:-2] + (3, 3))
+    return adj * inv_det[..., None, None]
 
 # cost charged to a residual that is nominally valid but currently broken
 # (behind camera / negative plane depth / sampled off-image)
@@ -126,38 +151,56 @@ def _huber_w(r2: jnp.ndarray, delta: float) -> jnp.ndarray:
 
 
 def scene_terms(problem: BAProblem, huber: float):
-    """Residuals + tangent Jacobians for all scene observations.
+    """Residuals + tangent Jacobians for all scene observations (analytic).
+
+    Closed-form manifold Jacobians of r = w(K(A p_h) - uv), A = T_t ∘ T_h⁻¹,
+    p_h = ray/ρ. The retraction rotates on the quaternion manifold but
+    updates translation ADDITIVELY (Ceres block structure, geometry.se3
+    .retract), so the rotation tangent acts about the camera center:
+        dp_c/dδ_tgt  = [-[p_c - t_t]ₓ | I]
+        dp_c/dδ_host = [ R_A [p_h - t_h]ₓ | -R_A ]
+        dp_c/dρ      = -R_A p_h / ρ
+    (replaces the reference's numeric/ceres-autodiff functors and the earlier
+    vmap(jacfwd) — ~5x fewer flops per row; validated against jacfwd in
+    tests/test_solver_jacobians.py).
 
     Returns dict with per-obs r [O,2], J_t [O,2,6], J_h [O,2,6], J_l [O,2,1],
     w [O] (validity x huber x weight), cost [O] (robust, squared)."""
+    from ..geometry.quaternion import qto_matrix
+    from ..geometry.camera import project_jacobian
+    from ..geometry.sim3 import skew
+
     s = problem.scene
-    K = problem.poses.shape[0]
     poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
     tgt_pose = poses_ext[s.tgt]
     host_pose = _gather_pose(poses_ext, s.host, s.host_frozen_pose, s.host_in_window[:, None])
     rho = problem.rho[s.point]
 
-    def res(dt, dh, dr, ray, uv, tp, hp, rh):
-        r, _ = _scene_residual(dt, dh, dr, ray, uv, tp, hp, rh, problem.fx, problem.fy, problem.cx, problem.cy)
-        return r
+    A = se3.compose(tgt_pose, se3.inverse(host_pose))  # [O, 7]
+    R_A = qto_matrix(A[:, :4])  # [O, 3, 3]
+    p_h = s.ray / rho[:, None]
+    p_c = se3.apply(A, p_h)
+    uv_pred = project(p_c, problem.fx, problem.fy, problem.cx, problem.cy)
+    r = uv_pred - s.uv
+    z = p_c[:, 2]
 
-    zeros6 = jnp.zeros(6)
-    zero1 = jnp.zeros(())
-    f = jax.vmap(
-        lambda ray, uv, tp, hp, rh: jax.jacfwd(res, argnums=(0, 1, 2))(
-            zeros6, zeros6, zero1, ray, uv, tp, hp, rh
-        )
-    )
-    J_t, J_h, J_l = f(s.ray, s.uv, tgt_pose, host_pose, rho)
-    r, z = jax.vmap(
-        lambda ray, uv, tp, hp, rh: _scene_residual(
-            zeros6, zeros6, zero1, ray, uv, tp, hp, rh, problem.fx, problem.fy, problem.cx, problem.cy
-        )
-    )(s.ray, s.uv, tgt_pose, host_pose, rho)
+    Juv = project_jacobian(p_c, problem.fx, problem.fy)  # [O, 2, 3]
+    J_t = jnp.concatenate([
+        jnp.einsum("oij,ojk->oik", Juv, -skew(p_c - tgt_pose[:, 4:7])),
+        Juv,
+    ], axis=-1)  # [O, 2, 6]
+    RAsk = jnp.einsum("oij,ojk->oik", R_A, skew(p_h - host_pose[:, 4:7]))
+    JuvRA = jnp.einsum("oij,ojk->oik", Juv, R_A)
+    J_h = jnp.concatenate([
+        jnp.einsum("oij,ojk->oik", Juv, RAsk),
+        -JuvRA,
+    ], axis=-1)
+    J_l = jnp.einsum("oij,oj->oi", JuvRA, -p_h / rho[:, None])[..., None]  # [O, 2, 1]
+
     r = r * s.weight[:, None]
     J_t = J_t * s.weight[:, None, None]
     J_h = J_h * s.weight[:, None, None]
-    J_l = J_l[..., None] * s.weight[:, None, None]
+    J_l = J_l * s.weight[:, None, None]
     ok = s.valid & (z > 1e-4) & (rho > 1e-6)
     r2 = (r * r).sum(-1)
     hw = _huber_w(r2, huber)
@@ -181,10 +224,49 @@ def scene_terms(problem: BAProblem, huber: float):
     return {"r": r, "J_t": J_t, "J_h": J_h, "J_l": J_l, "w": w, "cost": cost, "chi2": r2}
 
 
-def _text_residual(delta_tgt, delta_host, dtheta, rays, ref, mu_sigma, tgt_pose, host_pose, theta, img, fx, fy, cx, cy):
+def scene_terms_ad(problem: BAProblem, huber: float):
+    """jacfwd reference implementation of scene_terms (kept for validation)."""
+    s = problem.scene
+    poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
+    tgt_pose = poses_ext[s.tgt]
+    host_pose = _gather_pose(poses_ext, s.host, s.host_frozen_pose, s.host_in_window[:, None])
+    rho = problem.rho[s.point]
+
+    def res(dt, dh, dr, ray, uv, tp, hp, rh):
+        r, _ = _scene_residual(dt, dh, dr, ray, uv, tp, hp, rh, problem.fx, problem.fy, problem.cx, problem.cy)
+        return r
+
+    zeros6 = jnp.zeros(6)
+    zero1 = jnp.zeros(())
+    f = jax.vmap(
+        lambda ray, uv, tp, hp, rh: jax.jacfwd(res, argnums=(0, 1, 2))(
+            zeros6, zeros6, zero1, ray, uv, tp, hp, rh
+        )
+    )
+    J_t, J_h, J_l = f(s.ray, s.uv, tgt_pose, host_pose, rho)
+    r, z = jax.vmap(
+        lambda ray, uv, tp, hp, rh: _scene_residual(
+            zeros6, zeros6, zero1, ray, uv, tp, hp, rh, problem.fx, problem.fy, problem.cx, problem.cy
+        )
+    )(s.ray, s.uv, tgt_pose, host_pose, rho)
+    w = s.weight
+    return {
+        "r": r * w[:, None],
+        "J_t": J_t * w[:, None, None],
+        "J_h": (J_h * w[:, None, None]) * s.host_in_window[:, None, None],
+        "J_l": (J_l[..., None] * w[:, None, None]) * problem.rho_free[s.point][:, None, None],
+        "valid_z": z,
+    }
+
+
+def _text_residual(delta_tgt, delta_host, dtheta, rays, ref, mu_sigma, tgt_pose, host_pose, theta, imgs, tgt_i, fx, fy, cx, cy):
     """8-dim photometric residual (include/nume_BAText.h:22-100 semantics):
     project each pattern ray via the plane, sample target intensity, compare
-    normalized values: r_k = (I_k - mu)/sigma - ref_k."""
+    normalized values: r_k = (I_k - mu)/sigma - ref_k.
+
+    Samples through the whole image stack with the target index fused into
+    the gather (ops.interp.bilinear_stack) — indexing imgs[tgt] per
+    observation would materialize an image copy per residual row."""
     T_t = se3.retract(tgt_pose, delta_tgt)
     T_h = se3.retract(host_pose, delta_host)
     th = theta + dtheta
@@ -193,41 +275,74 @@ def _text_residual(delta_tgt, delta_host, dtheta, rays, ref, mu_sigma, tgt_pose,
     T_th = se3.compose(T_t, se3.inverse(T_h))
     p_c = se3.apply(T_th, p_h)
     uv = project(p_c, fx, fy, cx, cy)
-    I, mask = bilinear(img, uv)
+    I, mask = bilinear_stack(imgs, tgt_i, uv)
     mu, sigma = mu_sigma[0], mu_sigma[1]
     r = (I - mu) / sigma - ref
     return r, (mask & (p_c[..., 2] > 1e-4) & (rho > 1e-6))
 
 
+def _text_level_K(problem: BAProblem, level: int):
+    """Level-l intrinsics for the x2 direct pyramid (text residuals project
+    into the level image; using level-0 K against a level-l image samples at
+    2^l-scaled coordinates)."""
+    sc = 2.0**level
+    return problem.fx / sc, problem.fy / sc, problem.cx / sc, problem.cy / sc
+
+
 def text_terms(problem: BAProblem, huber: float):
-    """Residuals + tangent Jacobians for all text observations at one level."""
+    """Residuals + analytic tangent Jacobians for text observations at one
+    pyramid level.
+
+    r_k = w((I_l(u_k) - mu)/sigma - ref_k), u_k = K_l(A m_k / rho_k),
+    rho_k = -m_k^T theta, A = T_t ∘ T_h⁻¹. Chain rule with image gradients
+    sampled from the pyramid's Sobel channels (dI/dx = sobel/8) — the analytic
+    replacement for the reference's CENTRAL numeric diff
+    (include/nume_BAText.h:98) and for vmap(jacfwd):
+        dp_c/dδ_tgt  = [-[p_c - t_t]ₓ | I]
+        dp_c/dδ_host = [ R_A [p_h - t_h]ₓ | -R_A ]
+        dp_c/dθ      = R_A (m mᵀ)/ρ²
+    problem.images must be [K, H_l, W_l, 3] = (I, sobel_x, sobel_y).
+    """
+    from ..geometry.quaternion import qto_matrix
+    from ..geometry.camera import project_jacobian
+    from ..geometry.sim3 import skew
+
     t = problem.text
-    K = problem.poses.shape[0]
     poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
     tgt_pose = poses_ext[t.tgt]
     host_pose = _gather_pose(poses_ext, t.host, t.host_frozen_pose, t.host_in_window[:, None])
     theta = problem.theta[t.text]
-    imgs = problem.images
+    fxl, fyl, cxl, cyl = _text_level_K(problem, t.level)
 
-    def res(dt, dh, dth, rays, ref, ms, tp, hp, th, img):
-        r, _ = _text_residual(dt, dh, dth, rays, ref, ms, tp, hp, th, img, problem.fx, problem.fy, problem.cx, problem.cy)
-        return r
+    A = se3.compose(tgt_pose, se3.inverse(host_pose))  # [O, 7]
+    R_A = qto_matrix(A[:, :4])  # [O, 3, 3]
+    rho = -(t.rays * theta[:, None, :]).sum(-1)  # [O, 8]
+    p_h = t.rays / rho[..., None]
+    p_c = se3.apply(A[:, None, :], p_h)  # [O, 8, 3]
+    uv = project(p_c, fxl, fyl, cxl, cyl)
+    vals, mask = bilinear_stack(problem.images, t.tgt[:, None], uv)  # [O, 8, 3]
+    I = vals[..., 0]
+    g = vals[..., 1:3] / 8.0  # sobel -> dI/dpx
+    mu = t.mu_sigma[:, 0:1]
+    sigma = t.mu_sigma[:, 1:2]
+    r = (I - mu) / sigma - t.ref_inten
+    sample_ok = mask & (p_c[..., 2] > 1e-4) & (rho > 1e-6)
 
-    zeros6 = jnp.zeros(6)
-    zeros3 = jnp.zeros(3)
-    jac = jax.vmap(
-        lambda rays, ref, ms, tp, hp, th, tgt_i: jax.jacfwd(res, argnums=(0, 1, 2))(
-            zeros6, zeros6, zeros3, rays, ref, ms, tp, hp, th, imgs[tgt_i]
-        )
-    )
-    J_t, J_h, J_l = jac(t.rays, t.ref_inten, t.mu_sigma, tgt_pose, host_pose, theta, t.tgt)
-    r, sample_ok = jax.vmap(
-        lambda rays, ref, ms, tp, hp, th, tgt_i: _text_residual(
-            zeros6, zeros6, zeros3, rays, ref, ms, tp, hp, th, imgs[tgt_i],
-            problem.fx, problem.fy, problem.cx, problem.cy,
-        )
-    )(t.rays, t.ref_inten, t.mu_sigma, tgt_pose, host_pose, theta, t.tgt)
-    w_row = t.weight[:, None] * sample_ok  # per-sample gating inside the 8-vector
+    Juv = project_jacobian(p_c, fxl, fyl)  # [O, 8, 2, 3]
+    Jpix = jnp.einsum("okj,okji->oki", g / sigma[..., None], Juv)  # [O, 8, 3]
+    J_t = jnp.concatenate([
+        jnp.einsum("oki,okij->okj", Jpix, -skew(p_c - tgt_pose[:, None, 4:7])),
+        Jpix,
+    ], axis=-1)  # [O, 8, 6]
+    JpixR = jnp.einsum("oki,oij->okj", Jpix, R_A)
+    J_h = jnp.concatenate([
+        jnp.einsum("oki,okij->okj", JpixR, skew(p_h - host_pose[:, None, 4:7])),
+        -JpixR,
+    ], axis=-1)
+    a = (JpixR * t.rays).sum(-1)  # [O, 8]
+    J_l = a[..., None] * t.rays / (rho * rho)[..., None]  # [O, 8, 3]
+
+    w_row = t.weight[:, None] * sample_ok
     r = r * w_row
     J_t = J_t * w_row[..., None]
     J_h = J_h * w_row[..., None]
@@ -249,6 +364,37 @@ def text_terms(problem: BAProblem, huber: float):
     return {"r": r, "J_t": J_t, "J_h": J_h, "J_l": J_l, "w": w, "cost": cost, "chi2": r2}
 
 
+def text_terms_ad(problem: BAProblem, huber: float):
+    """jacfwd reference implementation (validation only; intensity channel)."""
+    t = problem.text
+    poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
+    tgt_pose = poses_ext[t.tgt]
+    host_pose = _gather_pose(poses_ext, t.host, t.host_frozen_pose, t.host_in_window[:, None])
+    theta = problem.theta[t.text]
+    imgs = problem.images[..., 0] if problem.images.ndim == 4 else problem.images
+    fxl, fyl, cxl, cyl = _text_level_K(problem, t.level)
+
+    def res(dt, dh, dth, rays, ref, ms, tp, hp, th, tgt_i):
+        r, _ = _text_residual(dt, dh, dth, rays, ref, ms, tp, hp, th, imgs, tgt_i, fxl, fyl, cxl, cyl)
+        return r
+
+    zeros6 = jnp.zeros(6)
+    zeros3 = jnp.zeros(3)
+    jac = jax.vmap(
+        lambda rays, ref, ms, tp, hp, th, tgt_i: jax.jacfwd(res, argnums=(0, 1, 2))(
+            zeros6, zeros6, zeros3, rays, ref, ms, tp, hp, th, tgt_i
+        )
+    )
+    J_t, J_h, J_l = jac(t.rays, t.ref_inten, t.mu_sigma, tgt_pose, host_pose, theta, t.tgt)
+    r, sample_ok = jax.vmap(
+        lambda rays, ref, ms, tp, hp, th, tgt_i: _text_residual(
+            zeros6, zeros6, zeros3, rays, ref, ms, tp, hp, th, imgs, tgt_i,
+            fxl, fyl, cxl, cyl,
+        )
+    )(t.rays, t.ref_inten, t.mu_sigma, tgt_pose, host_pose, theta, t.tgt)
+    return {"r": r, "J_t": J_t, "J_h": J_h, "J_l": J_l, "sample_ok": sample_ok}
+
+
 def _pose_indices(slot, K):
     """Row indices of a pose block in the extended [6(K+1)] system (slot K =
     dump block for frozen poses)."""
@@ -256,7 +402,13 @@ def _pose_indices(slot, K):
 
 
 def assemble_camera_system(terms, tgt, host, K):
-    """Scatter-add one family's camera-side normal equations.
+    """Camera-side normal equations without scatter.
+
+    A scatter-add over pose blocks collides catastrophically on TPU (every
+    observation lands in one of <= (K+1)^2 blocks, so the scatter serializes
+    per collision). Instead: reduce per (tgt, host) pair with a one-hot
+    matmul on the MXU, then place the four 6x6 quadrants with dense
+    reshapes/transposes — no scatter at all.
 
     Returns (Hcc [6K+6, 6K+6], bc [6K+6]) in the extended system."""
     J = jnp.concatenate([terms["J_t"], terms["J_h"]], axis=-1)  # [O, R, 12]
@@ -264,15 +416,33 @@ def assemble_camera_system(terms, tgt, host, K):
     Jw = J * w
     H_blocks = jnp.einsum("ori,orj->oij", Jw, J)  # [O, 12, 12]
     b_blocks = jnp.einsum("ori,or->oi", Jw, terms["r"])  # [O, 12]
-    idx = jnp.concatenate([_pose_indices(tgt, K), _pose_indices(host, K)], axis=-1)  # [O, 12]
-    n = 6 * (K + 1)
-    Hcc = jnp.zeros((n, n)).at[idx[:, :, None], idx[:, None, :]].add(H_blocks)
-    bc = jnp.zeros((n,)).at[idx].add(b_blocks)
+
+    Kp = K + 1
+    pair = tgt * Kp + host  # [O]
+    S = jax.nn.one_hot(pair, Kp * Kp, dtype=H_blocks.dtype)  # [O, Kp^2]
+    Hp = jnp.einsum("oij,op->pij", H_blocks, S).reshape(Kp, Kp, 12, 12)
+    bp = jnp.einsum("oi,op->pi", b_blocks, S).reshape(Kp, Kp, 12)
+
+    n = 6 * Kp
+    # off-diagonal quadrants placed at (tgt, host) and (host, tgt)
+    M_th = Hp[:, :, 0:6, 6:12].transpose(0, 2, 1, 3).reshape(n, n)
+    M_ht = Hp[:, :, 6:12, 0:6].transpose(1, 2, 0, 3).reshape(n, n)
+    # diagonal blocks: sum the tt quadrant over hosts and hh over targets
+    D = Hp[:, :, 0:6, 0:6].sum(1) + Hp[:, :, 6:12, 6:12].sum(0)
+    Hcc = M_th + M_ht
+    ar = jnp.arange(Kp)
+    Hcc = Hcc.reshape(Kp, 6, Kp, 6).at[ar, :, ar, :].add(D).reshape(n, n)
+    bc = (bp[:, :, 0:6].sum(1) + bp[:, :, 6:12].sum(0)).reshape(n)
     return Hcc, bc
 
 
 def assemble_landmark_system(terms, tgt, host, lm_idx, n_landmarks, K, lm_dim):
-    """Per-landmark blocks: W [P, 6K+6, D], Hll [P, D, D], bl [P, D]."""
+    """Per-landmark blocks: W [L, 6K+6, D], Hll [L, D, D], bl [L, D].
+
+    Two paths: small landmark pools (text theta: L ~ tens) reduce by one-hot
+    matmul on the MXU (scatter would serialize on index collisions); large
+    pools (scene rho) scatter-add directly — collisions are rare there and
+    the one-hot matrix would be too wide."""
     J = jnp.concatenate([terms["J_t"], terms["J_h"]], axis=-1)  # [O, R, 12]
     Jl = terms["J_l"]  # [O, R, D]
     w = terms["w"][:, None, None]
@@ -280,8 +450,21 @@ def assemble_landmark_system(terms, tgt, host, lm_idx, n_landmarks, K, lm_dim):
     Hll_o = jnp.einsum("ori,orj->oij", Jlw, Jl)  # [O, D, D]
     bl_o = jnp.einsum("ori,or->oi", Jlw, terms["r"])
     W_o = jnp.einsum("ori,orj->oij", J * w, Jl)  # [O, 12, D]
+    Kp = K + 1
+    n = 6 * Kp
+
+    if n_landmarks * Kp <= 16384:
+        Sl = jax.nn.one_hot(lm_idx, n_landmarks, dtype=J.dtype)  # [O, L]
+        Hll = jnp.einsum("oij,ol->lij", Hll_o, Sl)
+        bl = jnp.einsum("oi,ol->li", bl_o, Sl)
+        St = jax.nn.one_hot(lm_idx * Kp + tgt, n_landmarks * Kp, dtype=J.dtype)
+        Sh = jax.nn.one_hot(lm_idx * Kp + host, n_landmarks * Kp, dtype=J.dtype)
+        Wt = jnp.einsum("oid,op->pid", W_o[:, 0:6, :], St)
+        Wh = jnp.einsum("oid,op->pid", W_o[:, 6:12, :], Sh)
+        W = (Wt + Wh).reshape(n_landmarks, n, lm_dim)
+        return W, Hll, bl
+
     idx = jnp.concatenate([_pose_indices(tgt, K), _pose_indices(host, K)], axis=-1)
-    n = 6 * (K + 1)
     Hll = jnp.zeros((n_landmarks, lm_dim, lm_dim)).at[lm_idx].add(Hll_o)
     bl = jnp.zeros((n_landmarks, lm_dim)).at[lm_idx].add(bl_o)
     W = jnp.zeros((n_landmarks, n, lm_dim)).at[lm_idx[:, None, None], idx[:, :, None], jnp.arange(lm_dim)[None, None, :]].add(W_o)
@@ -307,12 +490,60 @@ def _apply_update(problem: BAProblem, delta_c, delta_rho, delta_theta):
     return poses, rho, theta
 
 
+def scene_cost(problem: BAProblem, huber: float) -> jnp.ndarray:
+    """Residual-only robust cost (no Jacobians — for LM accept/reject)."""
+    s = problem.scene
+    poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
+    tgt_pose = poses_ext[s.tgt]
+    host_pose = _gather_pose(poses_ext, s.host, s.host_frozen_pose, s.host_in_window[:, None])
+    rho = problem.rho[s.point]
+    zeros6 = jnp.zeros(6)
+    zero1 = jnp.zeros(())
+    r, z = jax.vmap(
+        lambda ray, uv, tp, hp, rh: _scene_residual(
+            zeros6, zeros6, zero1, ray, uv, tp, hp, rh, problem.fx, problem.fy, problem.cx, problem.cy
+        )
+    )(s.ray, s.uv, tgt_pose, host_pose, rho)
+    r = r * s.weight[:, None]
+    ok = s.valid & (z > 1e-4) & (rho > 1e-6)
+    r2 = (r * r).sum(-1)
+    rn = jnp.sqrt(r2.clip(1e-12))
+    cost = jnp.where(rn <= huber, r2, 2 * huber * rn - huber * huber)
+    return jnp.where(ok, cost, jnp.where(s.valid, BROKEN_PENALTY, 0.0)).sum()
+
+
+def text_cost(problem: BAProblem, huber: float) -> jnp.ndarray:
+    t = problem.text
+    poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
+    tgt_pose = poses_ext[t.tgt]
+    host_pose = _gather_pose(poses_ext, t.host, t.host_frozen_pose, t.host_in_window[:, None])
+    theta = problem.theta[t.text]
+    fxl, fyl, cxl, cyl = _text_level_K(problem, t.level)
+    from ..geometry.quaternion import qto_matrix
+
+    A = se3.compose(tgt_pose, se3.inverse(host_pose))
+    rho = -(t.rays * theta[:, None, :]).sum(-1)
+    p_h = t.rays / rho[..., None]
+    p_c = se3.apply(A[:, None, :], p_h)
+    uv = project(p_c, fxl, fyl, cxl, cyl)
+    vals, mask = bilinear_stack(problem.images, t.tgt[:, None], uv)
+    I = vals[..., 0] if problem.images.ndim == 4 else vals
+    r = (I - t.mu_sigma[:, 0:1]) / t.mu_sigma[:, 1:2] - t.ref_inten
+    sample_ok = mask & (p_c[..., 2] > 1e-4) & (rho > 1e-6)
+    r = r * (t.weight[:, None] * sample_ok)
+    ok = t.valid & (sample_ok.sum(-1) >= 4)
+    r2 = (r * r).sum(-1)
+    rn = jnp.sqrt(r2.clip(1e-12))
+    cost = jnp.where(rn <= huber, r2, 2 * huber * rn - huber * huber)
+    return jnp.where(ok, cost, jnp.where(t.valid, BROKEN_PENALTY, 0.0)).sum()
+
+
 def _total_cost(problem: BAProblem, hubers) -> jnp.ndarray:
     c = jnp.float32(0.0)
     if problem.scene is not None:
-        c = c + scene_terms(problem, hubers["scene"])["cost"].sum()
+        c = c + scene_cost(problem, hubers["scene"])
     if problem.text is not None:
-        c = c + text_terms(problem, hubers["text"])["cost"].sum()
+        c = c + text_cost(problem, hubers["text"])
     return c
 
 
@@ -347,63 +578,44 @@ def solve_ba(
     def build(problem):
         Hcc = jnp.zeros((n, n))
         bc = jnp.zeros((n,))
-        Wr = jnp.zeros((P, n, 1))
-        Hr = jnp.zeros((P, 1, 1))
-        br = jnp.zeros((P, 1))
-        Wt = jnp.zeros((T, n, 3))
-        Ht = jnp.zeros((T, 3, 3))
-        bt = jnp.zeros((T, 3))
+        Wr = Hr = br = Wt = Ht = bt = None
         cost = jnp.float32(0.0)
         if problem.scene is not None:
             ts = scene_terms(problem, huber_scene)
-            H1, b1 = assemble_camera_system(ts, problem.scene.tgt, problem.scene.host, K)
-            W1, Hl1, bl1 = assemble_landmark_system(
+            Hcc, bc = assemble_camera_system(ts, problem.scene.tgt, problem.scene.host, K)
+            Wr, Hr, br = assemble_landmark_system(
                 ts, problem.scene.tgt, problem.scene.host, problem.scene.point, P, K, 1
             )
-            Hcc += H1
-            bc += b1
-            Wr += W1
-            Hr += Hl1
-            br += bl1
             cost += ts["cost"].sum()
         if problem.text is not None:
             tt = text_terms(problem, huber_text)
             H2, b2 = assemble_camera_system(tt, problem.text.tgt, problem.text.host, K)
-            W2, Hl2, bl2 = assemble_landmark_system(
+            Wt, Ht, bt = assemble_landmark_system(
                 tt, problem.text.tgt, problem.text.host, problem.text.text, T, K, 3
             )
             Hcc += H2
             bc += b2
-            Wt += W2
-            Ht += Hl2
-            bt += bl2
             cost += tt["cost"].sum()
         return Hcc, bc, Wr, Hr, br, Wt, Ht, bt, cost
 
-    def step(state: LMState):
-        prob = problem._replace(poses=state.poses, rho=state.rho, theta=state.theta)
-        Hcc, bc, Wr, Hr, br, Wt, Ht, bt, cost = build(prob)
+    def solve_from(sys, lam):
+        """Compute the damped step from an assembled system."""
+        Hcc, bc, Wr, Hr, br, Wt, Ht, bt = sys
+        H_red = Hcc
+        b_red = bc
+        Hr_inv = None
+        Ht_inv = None
+        if problem.scene is not None:
+            Hr_d = Hr[:, 0, 0] * (1.0 + lam) + 1e-8
+            Hr_inv = jnp.where(Hr[:, 0, 0] > 1e-12, 1.0 / Hr_d, 0.0)
+            H_red = H_red - jnp.einsum("pid,p,pjd->ij", Wr, Hr_inv, Wr)
+            b_red = b_red - jnp.einsum("pid,p,pd->i", Wr, Hr_inv, br)
+        if problem.text is not None:
+            Ht_d = Ht + (lam * Ht + 1e-8) * jnp.eye(3)
+            Ht_inv = inv3x3_spd(Ht_d)
+            H_red = H_red - jnp.einsum("pid,pde,pje->ij", Wt, Ht_inv, Wt)
+            b_red = b_red - jnp.einsum("pid,pde,pe->i", Wt, Ht_inv, bt)
 
-        lam = state.lam
-        # damp landmark blocks (Hll + lam*diag)
-        Hr_d = Hr + lam * Hr * jnp.eye(1) + 1e-8 * jnp.eye(1)
-        Ht_d = Ht + lam * Ht * jnp.eye(3) + 1e-8 * jnp.eye(3)
-        Hr_inv = 1.0 / Hr_d[:, 0, 0]
-        Hr_inv = jnp.where(Hr[:, 0, 0] > 1e-12, Hr_inv, 0.0)
-        Ht_inv = jnp.linalg.pinv(Ht_d) * (jnp.trace(Ht, axis1=-2, axis2=-1) > 1e-12)[:, None, None]
-
-        # Schur complement
-        H_red = (
-            Hcc
-            - jnp.einsum("pid,p,pjd->ij", Wr, Hr_inv, Wr)
-            - jnp.einsum("pid,pde,pje->ij", Wt, Ht_inv, Wt)
-        )
-        b_red = (
-            bc
-            - jnp.einsum("pid,p,pd->i", Wr, Hr_inv, br)
-            - jnp.einsum("pid,pde,pe->i", Wt, Ht_inv, bt)
-        )
-        # damp + freeze + Jacobi scale
         diag = jnp.diagonal(H_red)
         diag_safe = jnp.where(free_mask & (diag > 1e-12), diag, 1.0)
         Dinv = 1.0 / jnp.sqrt(diag_safe)
@@ -411,35 +623,78 @@ def solve_ba(
         Hs = jnp.where(free_mask[:, None] & free_mask[None, :], Hs, 0.0)
         Hs = Hs + (lam + 1e-8) * jnp.eye(n) + jnp.diag(~free_mask * 1.0)
         bs = jnp.where(free_mask, b_red * Dinv, 0.0)
-        delta_s = jnp.linalg.solve(Hs, -bs)
+        L = jnp.linalg.cholesky(Hs)
+        delta_s = jax.scipy.linalg.cho_solve((L, True), -bs)
         delta_c = delta_s * Dinv * free_mask
 
-        # back-substitute landmarks
-        drho = Hr_inv * (-br[:, 0] - jnp.einsum("pid,i->pd", Wr, delta_c)[:, 0])
-        dtheta = jnp.einsum(
-            "pde,pe->pd", Ht_inv, -bt - jnp.einsum("pid,i->pd", Wt, delta_c)
-        )
+        if problem.scene is not None:
+            drho = Hr_inv * (-br[:, 0] - jnp.einsum("pid,i->pd", Wr, delta_c)[:, 0])
+        else:
+            drho = jnp.zeros_like(problem.rho)
+        if problem.text is not None:
+            dtheta = jnp.einsum(
+                "pde,pe->pd", Ht_inv, -bt - jnp.einsum("pid,i->pd", Wt, delta_c)
+            )
+        else:
+            dtheta = jnp.zeros_like(problem.theta)
+        return delta_c, drho, dtheta
 
+    def step(carry, _):
+        """Deferred-accept LM: ONE build per iteration. The trial point's
+        build provides both its cost (accept/reject against the best) and,
+        on accept, the next linearization; on reject the cached best system
+        is retried with a larger damping — textbook LM, but residuals and
+        Jacobians are evaluated exactly once per iteration."""
+        best_params, best_cost, best_sys, trial_params, lam = carry
+        sys_t, cost_t = build_sys(problem, trial_params)
+        finite = (
+            jnp.isfinite(cost_t)
+            & jnp.isfinite(trial_params[0]).all()
+            & jnp.isfinite(trial_params[1]).all()
+            & jnp.isfinite(trial_params[2]).all()
+        )
+        accept = (cost_t < best_cost) & finite
+        params = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), trial_params, best_params
+        )
+        cost = jnp.where(accept, cost_t, best_cost)
+        sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sys_t, best_sys)
+        lam = jnp.clip(jnp.where(accept, lam * lam_down, lam * lam_up), 1e-10, 1e8)
+
+        prob = problem._replace(poses=params[0], rho=params[1], theta=params[2])
+        delta_c, drho, dtheta = solve_from(sys, lam)
         new_poses, new_rho, new_theta = _apply_update(prob, delta_c, drho, dtheta)
-        new_prob = problem._replace(poses=new_poses, rho=new_rho, theta=new_theta)
-        new_cost = _total_cost(new_prob, hubers)
-        finite = jnp.isfinite(new_cost) & jnp.isfinite(new_poses).all() & jnp.isfinite(new_rho).all() & jnp.isfinite(new_theta).all()
-        accept = (new_cost < cost) & finite
-        return LMState(
-            poses=jnp.where(accept, new_poses, state.poses),
-            rho=jnp.where(accept, new_rho, state.rho),
-            theta=jnp.where(accept, new_theta, state.theta),
-            lam=jnp.clip(jnp.where(accept, lam * lam_down, lam * lam_up), 1e-10, 1e8),
-            cost=jnp.where(accept, new_cost, cost),
+        return (params, cost, sys, (new_poses, new_rho, new_theta), lam), None
+
+    def build_sys(problem, params):
+        prob = problem._replace(poses=params[0], rho=params[1], theta=params[2])
+        Hcc, bc, Wr, Hr, br, Wt, Ht, bt, cost = build(prob)
+        zW = jnp.zeros((1,))
+        sys = (
+            Hcc, bc,
+            Wr if Wr is not None else zW,
+            Hr if Hr is not None else zW,
+            br if br is not None else zW,
+            Wt if Wt is not None else zW,
+            Ht if Ht is not None else zW,
+            bt if bt is not None else zW,
         )
+        return sys, cost
 
-    init_cost = _total_cost(problem, hubers)
-    state = LMState(problem.poses, problem.rho, problem.theta, jnp.float32(lam0), init_cost)
-    state = jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), state)
-    return state
+    params0 = (problem.poses, problem.rho, problem.theta)
+    # initial carry: infinite best cost so the first iteration's build of the
+    # initial params always "accepts" and becomes the first linearization
+    zsys, _ = build_sys(problem, params0)
+    zsys = jax.tree.map(jnp.zeros_like, zsys)
+    carry0 = (params0, jnp.float32(jnp.inf), zsys, params0, jnp.float32(lam0))
+    carry, _ = jax.lax.scan(step, carry0, None, length=n_iters + 1)
+    best_params, best_cost, _, _, lam = carry
+    return LMState(
+        poses=best_params[0], rho=best_params[1], theta=best_params[2],
+        lam=lam, cost=best_cost,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("huber",))
 def scene_chi2(problem: BAProblem, huber: float):
     """Post-solve per-observation chi2 for outlier gating
     (src/optimizer.cc:1238-1303 semantics: evaluate, threshold, mark bad)."""
