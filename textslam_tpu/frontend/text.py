@@ -685,8 +685,19 @@ class TextFrontend:
             st = ba.solve_ba(prob, n_iters=scfg.iters_per_level,
                              huber_text=scfg.huber_theta)
             cur_theta = st.theta
+            last_prob = prob._replace(theta=cur_theta)
         th = np.asarray(cur_theta[0])
         ok = bool(np.isfinite(th).all()) and np.linalg.norm(th) > 1e-6
+        if ok:
+            # theta covariance = inverse GN information at the solution
+            # (reference: Ceres Covariance stored on the mapText,
+            # src/optimizer.cc:2219-2238)
+            tt = ba.text_terms(last_prob, scfg.huber_theta)
+            Jl = np.asarray(tt["J_l"])  # [O, 8, 3]
+            w = np.asarray(tt["w"])[:, None, None]
+            H = np.einsum("ori,orj->ij", Jl * w, Jl)
+            if np.linalg.det(H) > 1e-12:
+                m.tx_cov[tid] = np.linalg.inv(H)
         return th, ok
 
     def _semantic_conditions(self):

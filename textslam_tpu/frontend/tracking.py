@@ -465,28 +465,45 @@ class Tracker:
         K = pad_tier(len(window_kids), minimum=4)  # fixed window tiers
         slot = {k: i for i, k in enumerate(window_kids)}
 
-        tgt_l, host_l, hostpose_l, inwin_l, point_l, ray_l, uv_l, kfkp_l = [], [], [], [], [], [], [], []
+        # vectorized observation gathering (no per-observation python)
+        slot_arr = np.full(self.cfg.map.max_keyframes, K, np.int32)
+        for i, k in enumerate(window_kids):
+            slot_arr[k] = i
+        tgt_a, host_a, hostpose_a, inwin_a, point_a, ray_a, uv_a = [], [], [], [], [], [], []
+        kf_of_obs, kp_of_obs = [], []
         for kid in window_kids:
             kf = m.keyframes[kid]
             sel = np.nonzero((kf.kp_point >= 0) & kf.obs_good)[0]
-            for i in sel:
-                pid = int(kf.kp_point[i])
-                if m.pt_bad[pid]:
-                    continue
-                h = int(m.pt_host[pid])
-                tgt_l.append(slot[kid])
-                in_w = h in slot
-                host_l.append(slot.get(h, K))
-                hostpose_l.append(m.kf_pose[h])
-                inwin_l.append(in_w)
-                point_l.append(pid)
-                ray_l.append(m.pt_ray[pid])
-                uv_l.append(kf.kp_uv[i])
-                kfkp_l.append((kid, int(i)))
-        if not point_l:
+            if len(sel) == 0:
+                continue
+            pids = kf.kp_point[sel]
+            keep = ~m.pt_bad[pids]
+            sel, pids = sel[keep], pids[keep]
+            if len(sel) == 0:
+                continue
+            hosts = m.pt_host[pids]
+            tgt_a.append(np.full(len(sel), slot_arr[kid], np.int32))
+            host_a.append(slot_arr[hosts])
+            hostpose_a.append(m.kf_pose[hosts])
+            inwin_a.append(slot_arr[hosts] < K)
+            point_a.append(pids)
+            ray_a.append(m.pt_ray[pids])
+            uv_a.append(kf.kp_uv[sel])
+            kf_of_obs.append(np.full(len(sel), kid, np.int32))
+            kp_of_obs.append(sel)
+        tgt_l = np.concatenate(tgt_a) if tgt_a else np.zeros(0, np.int32)
+        host_l = np.concatenate(host_a) if host_a else np.zeros(0, np.int32)
+        hostpose_l = np.concatenate(hostpose_a) if hostpose_a else np.zeros((0, 7), np.float32)
+        inwin_l = np.concatenate(inwin_a) if inwin_a else np.zeros(0, bool)
+        point_l = np.concatenate(point_a) if point_a else np.zeros(0, np.int64)
+        ray_l = np.concatenate(ray_a) if ray_a else np.zeros((0, 3), np.float32)
+        uv_l = np.concatenate(uv_a) if uv_a else np.zeros((0, 2), np.float32)
+        kf_of_obs = np.concatenate(kf_of_obs) if kf_of_obs else np.zeros(0, np.int32)
+        kp_of_obs = np.concatenate(kp_of_obs) if kp_of_obs else np.zeros(0, np.int64)
+        if len(point_l) == 0:
             return
         # compact point remap
-        upts, pinv = np.unique(np.asarray(point_l), return_inverse=True)
+        upts, pinv = np.unique(point_l, return_inverse=True)
         P = pad_tier(len(upts))
         O = pad_tier(len(tgt_l))
         valid = np.zeros(O, bool)
@@ -496,13 +513,13 @@ class Tracker:
         host_in_window_per_pt = np.array([int(m.pt_host[p]) in slot for p in upts])
         rho_free[: len(upts)] = host_in_window_per_pt
         scene = ba.SceneObs(
-            tgt=jnp.asarray(_pad(np.asarray(tgt_l, np.int32), O)),
-            host=jnp.asarray(_pad(np.asarray(host_l, np.int32), O, K)),
-            host_frozen_pose=jnp.asarray(_pad_pose(np.asarray(hostpose_l, np.float32), O)),
-            host_in_window=jnp.asarray(_pad(np.asarray(inwin_l, bool), O, False)),
+            tgt=jnp.asarray(_pad(tgt_l, O)),
+            host=jnp.asarray(_pad(host_l, O, K)),
+            host_frozen_pose=jnp.asarray(_pad_pose(hostpose_l.astype(np.float32), O)),
+            host_in_window=jnp.asarray(_pad(inwin_l, O, False)),
             point=jnp.asarray(_pad(pinv.astype(np.int32), O)),
-            ray=jnp.asarray(_pad(np.asarray(ray_l, np.float32), O)),
-            uv=jnp.asarray(_pad(np.asarray(uv_l, np.float32), O)),
+            ray=jnp.asarray(_pad(ray_l.astype(np.float32), O)),
+            uv=jnp.asarray(_pad(uv_l.astype(np.float32), O)),
             weight=jnp.full(O, scfg.weight_scene if not init_ba else 1.0, dtype=jnp.float32),
             valid=jnp.asarray(valid),
         )
@@ -584,8 +601,8 @@ class Tracker:
         chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
         chi2_px = np.asarray(chi2)[: len(tgt_l)] / (scfg.weight_scene**2 if not init_ba else 1.0)
         bad = chi2_px > scfg.chi2_mono_pose
-        for (kid, i), b in zip(kfkp_l, bad):
-            if b:
-                m.keyframes[kid].obs_good[i] = False
-                pid = int(m.keyframes[kid].kp_point[i])
-                m.pt_bad_obs[pid] += 1
+        bad_idx = np.nonzero(bad)[0]
+        for kid in np.unique(kf_of_obs[bad_idx]):
+            rows = bad_idx[kf_of_obs[bad_idx] == kid]
+            m.keyframes[kid].obs_good[kp_of_obs[rows]] = False
+        np.add.at(m.pt_bad_obs, point_l[bad_idx], 1)

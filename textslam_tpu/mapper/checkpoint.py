@@ -1,0 +1,160 @@
+"""Map + tracker state checkpointing (crash-durable resume).
+
+The reference's only durable artifact is the rewritten trajectory file
+(keyframe_latest.txt, src/tracking.cc:2564-2586) — not a resumable map.
+Here the full SoA map state (poses, landmark pools, observations,
+covisibility, text reference data) and the tracker's motion state serialize
+to a single compressed npz; `load` restores a runnable system mid-sequence.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Optional
+
+import numpy as np
+
+from .state import SlamMap, Keyframe
+from ..frontend.frame import TextDetection
+
+
+def save(path: str, slam_map: SlamMap, tracker=None, text_frontend=None, extra: Optional[dict] = None):
+    blobs = {}
+    m = slam_map
+    blobs["kf_pose"] = m.kf_pose
+    blobs["kf_valid"] = m.kf_valid
+    for name in ("pt_host", "pt_ray", "pt_rho", "pt_valid", "pt_bad", "pt_desc",
+                 "pt_good_obs", "pt_bad_obs",
+                 "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
+                 "tx_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
+                 "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
+                 "M1", "M2", "M3"):
+        blobs[name] = getattr(m, name)
+    blobs["n_points"] = np.asarray(m.n_points)
+    blobs["n_texts"] = np.asarray(m.n_texts)
+    blobs["tx_obs_keys"] = np.asarray([[k, t] for (k, t) in m.tx_obs], np.int32).reshape(-1, 2)
+    blobs["tx_obs_vals"] = np.asarray(list(m.tx_obs.values()), np.int32)
+
+    meta = {
+        "tx_string": m.tx_string[: m.n_texts],
+        "n_keyframes": len(m.keyframes),
+        "extra": extra or {},
+    }
+    kf_meta = []
+    for i, kf in enumerate(m.keyframes):
+        kf_meta.append({
+            "kid": kf.kid, "frame_id": kf.frame_id, "timestamp": kf.timestamp,
+            "loop_edges": kf.loop_edges,
+            "det_text": [
+                {"text": d.text, "score": d.score, "lang": d.lang}
+                for d in (kf.det_text or [])
+            ],
+        })
+        blobs[f"kf{i}_kp_uv"] = kf.kp_uv
+        blobs[f"kf{i}_kp_level"] = kf.kp_level
+        blobs[f"kf{i}_kp_angle"] = kf.kp_angle
+        blobs[f"kf{i}_kp_desc"] = kf.kp_desc
+        blobs[f"kf{i}_kp_valid"] = kf.kp_valid
+        blobs[f"kf{i}_kp_point"] = kf.kp_point
+        blobs[f"kf{i}_obs_good"] = kf.obs_good
+        if kf.pyr_data is not None:
+            blobs[f"kf{i}_pyr_data"] = kf.pyr_data
+            blobs[f"kf{i}_pyr_shapes"] = kf.pyr_shapes
+        if kf.det_quads is not None:
+            blobs[f"kf{i}_det_quads"] = kf.det_quads
+            blobs[f"kf{i}_det_object"] = kf.det_object
+    meta["keyframes"] = kf_meta
+
+    if tracker is not None:
+        meta["tracker"] = {
+            "state": int(tracker.state),
+            "last_kf_frame_id": int(tracker.last_kf_frame_id),
+            "n_tracked_last_kf": int(tracker.n_tracked_last_kf),
+        }
+        if tracker.last_pose is not None:
+            blobs["trk_last_pose"] = tracker.last_pose
+        if tracker.velocity is not None:
+            blobs["trk_velocity"] = tracker.velocity
+        if tracker.trajectory:
+            blobs["trk_traj_ts"] = np.asarray([t for t, _ in tracker.trajectory])
+            blobs["trk_traj_poses"] = np.stack([p for _, p in tracker.trajectory])
+    if text_frontend is not None:
+        blobs["tf_box_uv"] = text_frontend.tx_box_uv
+        blobs["tf_box_int"] = text_frontend.tx_box_int
+        blobs["tf_box_valid"] = text_frontend.tx_box_valid
+        blobs["tf_host_stats"] = text_frontend.tx_host_stats
+
+    blobs["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **blobs)
+
+
+def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    m = SlamMap(cfg)
+    m.kf_pose = z["kf_pose"].copy()
+    m.kf_valid = z["kf_valid"].copy()
+    for name in ("pt_host", "pt_ray", "pt_rho", "pt_valid", "pt_bad", "pt_desc",
+                 "pt_good_obs", "pt_bad_obs",
+                 "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
+                 "tx_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
+                 "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
+                 "M1", "M2", "M3"):
+        setattr(m, name, z[name].copy())
+    m.n_points = int(z["n_points"])
+    m.n_texts = int(z["n_texts"])
+    for t, s in enumerate(meta["tx_string"]):
+        m.tx_string[t] = s
+    keys = z["tx_obs_keys"].reshape(-1, 2)
+    vals = z["tx_obs_vals"]
+    m.tx_obs = {(int(k), int(t)): int(v) for (k, t), v in zip(keys, vals)}
+
+    for i, km in enumerate(meta["keyframes"]):
+        dets = [
+            TextDetection(quad=np.zeros((4, 2), np.float32), text=d["text"],
+                          score=d["score"], lang=d["lang"])
+            for d in km["det_text"]
+        ]
+        kf = Keyframe(
+            kid=km["kid"], frame_id=km["frame_id"], timestamp=km["timestamp"],
+            kp_uv=z[f"kf{i}_kp_uv"].copy(),
+            kp_level=z[f"kf{i}_kp_level"].copy(),
+            kp_angle=z[f"kf{i}_kp_angle"].copy(),
+            kp_desc=z[f"kf{i}_kp_desc"].copy(),
+            kp_valid=z[f"kf{i}_kp_valid"].copy(),
+            kp_point=z[f"kf{i}_kp_point"].copy(),
+            obs_good=z[f"kf{i}_obs_good"].copy(),
+            pyr_data=z[f"kf{i}_pyr_data"].copy() if f"kf{i}_pyr_data" in z else None,
+            pyr_shapes=z[f"kf{i}_pyr_shapes"].copy() if f"kf{i}_pyr_shapes" in z else None,
+            det_quads=z[f"kf{i}_det_quads"].copy() if f"kf{i}_det_quads" in z else None,
+            det_text=dets,
+            det_object=z[f"kf{i}_det_object"].copy() if f"kf{i}_det_object" in z else None,
+        )
+        if kf.det_quads is not None:
+            for d, det in enumerate(dets):
+                det.quad = kf.det_quads[d]
+        kf.loop_edges = list(km["loop_edges"])
+        m.keyframes.append(kf)
+
+    if tracker is not None and "tracker" in meta:
+        tm = meta["tracker"]
+        tracker.state = tm["state"]
+        tracker.last_kf_frame_id = tm["last_kf_frame_id"]
+        tracker.n_tracked_last_kf = tm["n_tracked_last_kf"]
+        tracker.map = m
+        if "trk_last_pose" in z:
+            tracker.last_pose = z["trk_last_pose"].copy()
+        if "trk_velocity" in z:
+            tracker.velocity = z["trk_velocity"].copy()
+        if "trk_traj_ts" in z:
+            tracker.trajectory = [
+                (float(t), p.copy()) for t, p in zip(z["trk_traj_ts"], z["trk_traj_poses"])
+            ]
+    if text_frontend is not None and "tf_box_uv" in z:
+        text_frontend.tx_box_uv = z["tf_box_uv"].copy()
+        text_frontend.tx_box_int = z["tf_box_int"].copy()
+        text_frontend.tx_box_valid = z["tf_box_valid"].copy()
+        text_frontend.tx_host_stats = z["tf_host_stats"].copy()
+        text_frontend.map = m
+    return m
