@@ -286,6 +286,8 @@ class LoopCloser:
         for (tc, tl) in pairs["texts"]:
             if m.tx_valid[tc] and m.tx_valid[tl]:
                 m.replace_text(tc, tl)
+        m.rebuild_covis_m1()
+        m.rebuild_covis_m23()
 
         # ---------------- pose graph ----------------
         nodes = np.zeros((K, 8), np.float32)

@@ -163,9 +163,11 @@ class SlamMap:
         p_r = jnp.asarray(ray / rho[:, None])
         return np.array(se3.apply(se3.inverse(T_rw), p_r))
 
-    def replace_point(self, old_pid: int, new_pid: int):
+    def replace_point(self, old_pid: int, new_pid: int, rebuild: bool = False):
         """Loop fusion: rewire every observation of old into new
-        (mapPts::Replace, src/mapPts.cc:145-187) and update M1."""
+        (mapPts::Replace, src/mapPts.cc:145-187). Covisibility is rebuilt by
+        the caller after the whole fusion batch (the loop closer fuses many
+        points; per-fusion rebuilds would be quadratic)."""
         for kf in self.keyframes:
             sel = kf.kp_point == old_pid
             if sel.any():
@@ -176,7 +178,8 @@ class SlamMap:
                     kf.kp_point[sel] = new_pid
         self.pt_valid[old_pid] = False
         self.pt_bad[old_pid] = True
-        self.rebuild_covis_m1()
+        if rebuild:
+            self.rebuild_covis_m1()
 
     # ---------------- text objects ----------------
 
@@ -219,33 +222,46 @@ class SlamMap:
                         kf.det_object[d] = new_tid
         self.tx_valid[old_tid] = False
         self.tx_state[old_tid] = TEXT_BAD
-        self.rebuild_covis_m23()
 
     # ---------------- covisibility ----------------
 
+    def _point_incidence(self) -> np.ndarray:
+        """[K, n_points] bool observation incidence (good obs only)."""
+        K = len(self.keyframes)
+        inc = np.zeros((K, max(self.n_points, 1)), bool)
+        for kf in self.keyframes:
+            pts = kf.kp_point[kf.obs_good & (kf.kp_point >= 0)]
+            pts = pts[pts < self.n_points]
+            inc[kf.kid, pts] = True
+        return inc
+
     def update_covis_on_obs(self, kid: int, pids: np.ndarray):
         """Incremental M1 update when kid gains observations of pids
-        (UpdateCovMap_1). For each other KF observing the same point, +1."""
-        pidset = set(int(p) for p in pids if p >= 0)
-        if not pidset:
+        (UpdateCovMap_1): one incidence-matrix product row instead of
+        per-point set intersections."""
+        pids = np.asarray([p for p in np.atleast_1d(pids) if p >= 0], np.int64)
+        if len(pids) == 0:
             return
-        for other in self.keyframes:
-            if other.kid == kid:
-                continue
-            shared = sum(1 for p in other.kp_point if p >= 0 and p in pidset)
-            if shared:
-                self.M1[kid, other.kid] += shared
-                self.M1[other.kid, kid] += shared
+        inc = self._point_incidence()  # [K, P]
+        mask = np.zeros(inc.shape[1], bool)
+        mask[pids[pids < inc.shape[1]]] = True
+        shared = inc @ mask  # [K] counts of shared new pids per KF
+        shared[kid] = 0
+        self.M1[kid, : len(shared)] += shared
+        self.M1[: len(shared), kid] += shared
 
     def rebuild_covis_m1(self):
-        """Full M1 recompute (used after fusion; UpdateCovisibleKFs analog)."""
+        """Full M1 recompute as an incidence-matrix product
+        (SURVEY.md §2.4: covisibility = sharded int matmul on device; here
+        the host numpy product is already orders faster than set logic)."""
         K = len(self.keyframes)
         self.M1[:] = 0
-        obs_sets = [set(int(p) for p in kf.kp_point[kf.obs_good] if p >= 0) for kf in self.keyframes]
-        for a in range(K):
-            for b in range(a + 1, K):
-                s = len(obs_sets[a] & obs_sets[b])
-                self.M1[a, b] = self.M1[b, a] = s
+        if K == 0:
+            return
+        inc = self._point_incidence().astype(np.int32)
+        M = inc @ inc.T
+        np.fill_diagonal(M, 0)
+        self.M1[:K, :K] = M
 
     def rebuild_covis_m23(self):
         K = len(self.keyframes)
