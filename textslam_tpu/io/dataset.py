@@ -106,6 +106,15 @@ class Dataset:
                 self._K, self._dist, None, self._K,
                 (cam.width, cam.height), cv2.CV_32FC1,
             )
+        # native background IO: decode stays cv2, file reads overlap tracking
+        from .. import native
+
+        try:
+            self._prefetch = native.Prefetcher(
+                [os.path.join(cfg.read_path, n) for _, n in self.entries]
+            )
+        except Exception:
+            self._prefetch = None
 
     def __len__(self):
         return len(self.entries)
@@ -114,7 +123,11 @@ class Dataset:
         import cv2
 
         ts, name = self.entries[i]
-        img = cv2.imread(os.path.join(self.cfg.read_path, name), cv2.IMREAD_UNCHANGED)
+        if self._prefetch is not None:
+            buf = np.frombuffer(self._prefetch.get(i), np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED) if buf.size else None
+        else:
+            img = cv2.imread(os.path.join(self.cfg.read_path, name), cv2.IMREAD_UNCHANGED)
         if img is None:
             raise FileNotFoundError(f"image not found: {name}")
         if img.ndim == 3:

@@ -258,10 +258,10 @@ class SlamMap:
         self.M1[:] = 0
         if K == 0:
             return
-        inc = self._point_incidence().astype(np.int32)
-        M = inc @ inc.T
-        np.fill_diagonal(M, 0)
-        self.M1[:K, :K] = M
+        from .. import native
+
+        inc = self._point_incidence()
+        self.M1[:K, :K] = native.covis_product(inc)
 
     def rebuild_covis_m23(self):
         K = len(self.keyframes)
