@@ -182,6 +182,7 @@ class TextFrontend:
         L = max(cfg.pyramid.init_ba_levels) + 1
         self.n_levels = L
         self.tx_host_stats = np.zeros((m.max_texts, L, 2), np.float32)
+        self._sem_votes = {}  # tid -> {string: accumulated score}
         self._key = jax.random.PRNGKey(cfg.seed + 1)
 
     def _next_key(self):
@@ -608,13 +609,20 @@ class TextFrontend:
         return np.asarray(project(jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
 
     def _fuse_semantic(self, tid: int, det):
-        """Keep the higher-scoring recognized string (S_mean fusion,
-        src/tracking.cc:2343-2527 simplified to argmax-score)."""
+        """Semantic meaning fusion: accumulate per-string recognition scores
+        over observations and keep the argmax (the S_mean voting of
+        src/tracking.cc:2343-2527; geometric weighting folds into the
+        observation gates that admit the detection at all)."""
         m = self.map
-        if det.score > m.tx_score[tid] and (det.text or "").strip() not in ("", "#"):
-            m.tx_score[tid] = det.score
-            m.tx_string[tid] = det.text
-            m.tx_lang[tid] = det.lang
+        string = (det.text or "").strip()
+        if string in ("", "#"):
+            return
+        votes = self._sem_votes.setdefault(tid, {})
+        votes[string] = votes.get(string, 0.0) + float(det.score)
+        best = max(votes.items(), key=lambda kv: kv[1])
+        m.tx_string[tid] = best[0]
+        m.tx_score[tid] = best[1]
+        m.tx_lang[tid] = det.lang
 
     def _update_immature(self):
         """ThetaOptimMultiFs + promotion (src/tracking.cc:1920-1962)."""

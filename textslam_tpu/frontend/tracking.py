@@ -29,6 +29,7 @@ from ..geometry.camera import project, unproject, in_image
 from ..ops import matching
 from ..solver import ba
 from ..mapper.state import SlamMap, Keyframe
+from ..utils.profiling import phase
 from .frame import Frame
 
 # tracking states (src/tracking.h:44-51)
@@ -259,7 +260,8 @@ class Tracker:
         else:
             guess = self.last_pose.copy()
 
-        pids, kp_idx, ok = self._match_map(frame, guess)
+        with phase("track.match"):
+            pids, kp_idx, ok = self._match_map(frame, guess)
         n_matches = int(ok.sum())
         if n_matches < 10:
             # fallback: re-match without motion model, wider radius
@@ -271,7 +273,8 @@ class Tracker:
             frame.pose = guess
             return False
 
-        pose, inlier = self._pose_optimize(frame, guess, pids[ok], kp_idx[ok])
+        with phase("track.pose_optim"):
+            pose, inlier = self._pose_optimize(frame, guess, pids[ok], kp_idx[ok])
         # second association pass under the refined pose with a tight window
         # (SearchFrom3DAdd, src/tracking.cc:1114-1273), then re-optimize
         pids2, kp_idx2, ok2 = self._match_map(frame, pose, radius_scale=0.5)
@@ -398,7 +401,8 @@ class Tracker:
         m.update_covis_on_obs(kid, tracked_pids)
 
         # triangulate new points vs last KF
-        self._triangulate_new(kid)
+        with phase("kf.triangulate"):
+            self._triangulate_new(kid)
 
         # windowed BA. Gauge: fix only the oldest window KF — fixing two
         # full poses (reference PyrBA fixes KF0+KF1, src/optimizer.cc:1562-
@@ -407,7 +411,8 @@ class Tracker:
         # fixed pose is anchored by LM damping.
         window = m.window_kfs(self.cfg.solver.ba_window)
         fix = window[:1]
-        self._local_ba(window_kids=window, fix=fix)
+        with phase("kf.local_ba"):
+            self._local_ba(window_kids=window, fix=fix)
         frame.pose = m.kf_pose[kid].copy()
         self.last_pose = frame.pose.copy()
 

@@ -49,19 +49,22 @@ class TextSLAM:
         detections: Optional[List[TextDetection]] = None,
     ) -> Optional[np.ndarray]:
         """Track one undistorted grayscale frame; returns Tcw [7] or None."""
-        frame = build_frame(
-            self.cfg,
-            image,
-            frame_id=self.frame_count,
-            timestamp=timestamp,
-            detections=detections,
-            n_features=(
-                self.cfg.orb.n_features_init
-                if self.tracker.state != OK
-                else self.cfg.orb.n_features
-            ),
-            with_pyramid=not self.cfg.no_text,
-        )
+        from .utils.profiling import phase as _phase
+
+        with _phase("frame.build"):
+            frame = build_frame(
+                self.cfg,
+                image,
+                frame_id=self.frame_count,
+                timestamp=timestamp,
+                detections=detections,
+                n_features=(
+                    self.cfg.orb.n_features_init
+                    if self.tracker.state != OK
+                    else self.cfg.orb.n_features
+                ),
+                with_pyramid=not self.cfg.no_text,
+            )
         self.frame_count += 1
         ok = self.tracker.process(frame)
         return frame.pose if ok else None
