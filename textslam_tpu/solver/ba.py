@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from ..geometry.camera import project
-from ..ops.interp import bilinear, bilinear_stack
+from ..ops.interp import bilinear, bilinear_stack, patch_bilinear_stack
 
 
 def inv3x3_spd(A: jnp.ndarray) -> jnp.ndarray:
@@ -320,7 +320,10 @@ def text_terms(problem: BAProblem, huber: float):
     p_h = t.rays / rho[..., None]
     p_c = se3.apply(A[:, None, :], p_h)  # [O, 8, 3]
     uv = project(p_c, fxl, fyl, cxl, cyl)
-    vals, mask = bilinear_stack(problem.images, t.tgt[:, None], uv)  # [O, 8, 3]
+    # clustered patch sampling: the INTERVAL8 pattern's first sample is its
+    # center (offset (0,0)); one 8x8 patch gather per feature replaces 32
+    # scattered corner gathers
+    vals, mask = patch_bilinear_stack(problem.images, t.tgt, uv[:, 0], uv)
     I = vals[..., 0]
     g = vals[..., 1:3] / 8.0  # sobel -> dI/dpx
     mu = t.mu_sigma[:, 0:1]
@@ -526,8 +529,8 @@ def text_cost(problem: BAProblem, huber: float) -> jnp.ndarray:
     p_h = t.rays / rho[..., None]
     p_c = se3.apply(A[:, None, :], p_h)
     uv = project(p_c, fxl, fyl, cxl, cyl)
-    vals, mask = bilinear_stack(problem.images, t.tgt[:, None], uv)
-    I = vals[..., 0] if problem.images.ndim == 4 else vals
+    vals, mask = patch_bilinear_stack(problem.images, t.tgt, uv[:, 0], uv)
+    I = vals[..., 0]
     r = (I - t.mu_sigma[:, 0:1]) / t.mu_sigma[:, 1:2] - t.ref_inten
     sample_ok = mask & (p_c[..., 2] > 1e-4) & (rho > 1e-6)
     r = r * (t.weight[:, None] * sample_ok)
