@@ -169,3 +169,37 @@ class TestMatching:
         ok = jnp.ones(n, dtype=bool)
         ok2 = matching.rotation_histogram_filter(a1, a2, idx, ok)
         assert int(ok2[5:].sum()) > 90  # inliers survive
+
+
+class TestPallasHamming:
+    def test_matches_xla_in_interpret_mode(self):
+        """The Pallas kernel must agree with the XLA path (interpret mode
+        runs the kernel on CPU)."""
+        from textslam_tpu.ops import pallas_kernels as pk
+        import jax
+        from jax.experimental import pallas as pl
+        import jax.numpy as jnp
+
+        d1 = jnp.asarray(RNG.integers(0, 2**32, (200, 8), dtype=np.uint32))
+        d2 = jnp.asarray(RNG.integers(0, 2**32, (300, 8), dtype=np.uint32))
+        # reference XLA computation
+        x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+        want = np.asarray(jax.lax.population_count(x).astype(jnp.int32).sum(-1))
+
+        T = pk.TILE
+        P1 = (200 + T - 1) // T * T
+        P2 = (300 + T - 1) // T * T
+        d1t = jnp.pad(d1, ((0, P1 - 200), (0, 0))).T
+        d2t = jnp.pad(d2, ((0, P2 - 300), (0, 0))).T
+        out = pl.pallas_call(
+            pk._hamming_kernel,
+            out_shape=jax.ShapeDtypeStruct((P1, P2), jnp.int32),
+            grid=(P1 // T, P2 // T),
+            in_specs=[
+                pl.BlockSpec((8, T), lambda i, j: (0, i)),
+                pl.BlockSpec((8, T), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((T, T), lambda i, j: (i, j)),
+            interpret=True,
+        )(d1t, d2t)
+        np.testing.assert_array_equal(np.asarray(out)[:200, :300], want)

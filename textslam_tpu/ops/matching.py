@@ -18,9 +18,24 @@ INF = 10_000  # > max possible Hamming distance (256)
 
 def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distances between [N1, W] and [N2, W] uint32
-    descriptors -> [N1, N2] int32."""
+    descriptors -> [N1, N2] int32.
+
+    On TPU this dispatches to the hand-written tiled Pallas kernel
+    (ops.pallas_kernels, ~2x over the XLA lowering); elsewhere the dense
+    XLA path runs."""
+    if _use_pallas():
+        from .pallas_kernels import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(d1, d2)
     x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
     return jax.lax.population_count(x).astype(jnp.int32).sum(axis=-1)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def masked_best2(dist: jnp.ndarray, mask: jnp.ndarray):
