@@ -63,3 +63,22 @@ class TestSceneSLAM:
 
         ts2, poses2 = read_tum(str(out))
         assert len(ts2) == len(slam.map.keyframes)
+
+
+class TestDeterminism:
+    def test_identical_runs(self, sequence):
+        """Reference parity: fully seeded determinism (srand(0) analog)."""
+        from textslam_tpu.system import TextSLAM
+
+        frames, gt = sequence
+        results = []
+        for _ in range(2):
+            slam = TextSLAM(make_cfg())
+            for i in range(10):
+                slam.track_monocular(frames[i], float(i))
+            results.append((
+                np.stack([slam.map.kf_pose[kf.kid] for kf in slam.map.keyframes]),
+                slam.map.n_points,
+            ))
+        assert results[0][1] == results[1][1]
+        np.testing.assert_array_equal(results[0][0], results[1][0])

@@ -1,0 +1,89 @@
+import numpy as np
+
+from textslam_tpu.config import TextSLAMConfig, CameraConfig
+from textslam_tpu.mapper.state import SlamMap, Keyframe
+
+
+def make_map(n_kf=4, n_kp=32):
+    cfg = TextSLAMConfig(no_text=True, camera=CameraConfig(fx=400, fy=400, cx=160, cy=120))
+    m = SlamMap(cfg)
+    rng = np.random.default_rng(0)
+    for k in range(n_kf):
+        kf = Keyframe(
+            kid=-1, frame_id=k * 5, timestamp=float(k),
+            kp_uv=rng.uniform(0, 320, (n_kp, 2)).astype(np.float32),
+            kp_level=np.zeros(n_kp, np.int32),
+            kp_angle=np.zeros(n_kp, np.float32),
+            kp_desc=rng.integers(0, 2**32, (n_kp, 8), dtype=np.uint32),
+            kp_valid=np.ones(n_kp, bool),
+            kp_point=np.full(n_kp, -1, np.int32),
+            obs_good=np.zeros(n_kp, bool),
+        )
+        m.add_keyframe(kf, np.array([1, 0, 0, 0, 0.1 * k, 0, 0], np.float32))
+    return m
+
+
+class TestSlamMap:
+    def test_covis_incremental_matches_rebuild(self):
+        m = make_map()
+        rng = np.random.default_rng(1)
+        # create points hosted in KF0, observed by random subsets
+        for i in range(20):
+            pid = m.add_point(0, np.array([0, 0, 1.0], np.float32), 0.5,
+                              rng.integers(0, 2**32, 8, dtype=np.uint32))
+            for k in range(4):
+                if rng.random() < 0.6:
+                    slot = rng.integers(0, 32)
+                    if m.keyframes[k].kp_point[slot] < 0:
+                        m.add_observation(k, int(slot), pid)
+        # incremental update per KF
+        for k in range(4):
+            kf = m.keyframes[k]
+            m.M1[:] = 0
+        m.rebuild_covis_m1()
+        M_re = m.M1.copy()
+        # brute force ground truth
+        K = 4
+        want = np.zeros((K, K), np.int32)
+        obs = [set(int(p) for p in m.keyframes[k].kp_point[m.keyframes[k].obs_good] if p >= 0) for k in range(K)]
+        for a in range(K):
+            for b in range(K):
+                if a != b:
+                    want[a, b] = len(obs[a] & obs[b])
+        np.testing.assert_array_equal(M_re[:K, :K], want)
+
+    def test_replace_point_rewires(self):
+        m = make_map(n_kf=2)
+        p1 = m.add_point(0, np.array([0, 0, 1.0], np.float32), 0.5, np.zeros(8, np.uint32))
+        p2 = m.add_point(0, np.array([0.1, 0, 1.0], np.float32), 0.4, np.zeros(8, np.uint32))
+        m.add_observation(0, 0, p1)
+        m.add_observation(1, 3, p2)
+        m.replace_point(p2, p1)
+        assert m.keyframes[1].kp_point[3] == p1
+        assert not m.pt_valid[p2] and m.pt_bad[p2]
+
+    def test_replace_point_drops_duplicate_obs(self):
+        m = make_map(n_kf=1)
+        p1 = m.add_point(0, np.array([0, 0, 1.0], np.float32), 0.5, np.zeros(8, np.uint32))
+        p2 = m.add_point(0, np.array([0.1, 0, 1.0], np.float32), 0.4, np.zeros(8, np.uint32))
+        m.add_observation(0, 0, p1)
+        m.add_observation(0, 1, p2)  # same KF observes both
+        m.replace_point(p2, p1)
+        # KF already observes p1 -> duplicate dropped, not double-registered
+        assert m.keyframes[0].kp_point[1] == -1
+
+    def test_window_and_nearest(self):
+        m = make_map(n_kf=4)
+        assert m.window_kfs(2) == [2, 3]
+        assert m.window_kfs(10) == [0, 1, 2, 3]
+        assert set(m.nearest_kfs(7, 2)) == {1, 2}
+
+    def test_text_obs_registry(self):
+        m = make_map(n_kf=2)
+        m.keyframes[0].det_object = np.full(3, -1, np.int32)
+        tid = m.add_text(0, np.array([0, 0, -0.5], np.float32),
+                         np.zeros((4, 2), np.float32), "CAFE", 0.9, 0)
+        m.add_text_observation(0, tid, 1)
+        assert m.text_obs_of_kf(0) == [(tid, 1)]
+        assert m.kfs_observing_text(tid) == [0]
+        assert m.keyframes[0].det_object[1] == tid

@@ -33,9 +33,8 @@ import jax.numpy as jnp
 
 from ..config import TextSLAMConfig
 from ..geometry import se3, plane
-from ..geometry.camera import project, unproject, in_image
+from ..geometry.camera import project, unproject
 from ..ops import rasterize
-from ..ops.zncc import zncc_gate
 from ..ops.interp import bilinear
 from ..solver import ba
 from ..mapper.state import SlamMap, TEXT_GOOD, TEXT_IMMATURE, TEXT_BAD

@@ -10,16 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .quaternion import (
-    qconj,
-    qmul,
-    qnormalize,
-    qrotate,
-    qto_matrix,
-    qfrom_matrix,
-    qexp,
-    qlog,
-)
+from .quaternion import qconj, qmul, qnormalize, qrotate, qexp, qlog
 
 EPS = 1e-12
 

@@ -19,7 +19,7 @@ Re-designs src/loopClosing.{h,cc} (1,573 LoC) + src/Sim3Solver.cc:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import TextSLAMConfig
 from ..geometry import se3, sim3
-from ..geometry.camera import unproject, project
+from ..geometry.camera import unproject
 from ..ops import matching, levenshtein, rasterize
 from ..solver import sim3_opt
 from ..mapper.state import SlamMap, TEXT_BAD
@@ -153,8 +153,6 @@ class LoopCloser:
         # (b) text-plane-backed features (SearchMatch_Text analog): keypoints
         # inside an observed text box get 3D from the plane
         def text_3d(kf):
-            from ..geometry import plane as plane_mod
-
             out_sel, out_p, out_tid = [], [], []
             for (k, tid), det_idx in m.tx_obs.items():
                 if k != kf.kid or not m.tx_valid[tid] or m.tx_state[tid] == TEXT_BAD:
@@ -172,7 +170,7 @@ class LoopCloser:
                     continue
                 # backproject via the plane: ray in kf frame; need theta in kf
                 # frame: theta hosted at host -> transform via T_kf,host
-                from ..geometry.plane import transform_theta, backproject
+                from ..geometry.plane import transform_theta
 
                 T_hk = se3.relative(jnp.asarray(m.kf_pose[host]), jnp.asarray(m.kf_pose[kf.kid]))
                 th_k = np.asarray(transform_theta(jnp.asarray(m.tx_theta[tid]), T_hk))
@@ -244,6 +242,17 @@ class LoopCloser:
         if n2 < lcfg.min_inliers:
             return None
         inl_np = np.asarray(inl2)[: len(rows)]
+        # outdoor sequences additionally require enough map-point-backed
+        # (non-text) inliers (src/loopClosing.cc:92-106)
+        from ..config import Experiment
+
+        if self.cfg.experiment == Experiment.OUTDOOR:
+            scene_inl = sum(
+                1 for r, keep in zip(rows, inl_np)
+                if keep and r < len(sel_c) and idx[r] < len(sel_l)
+            )
+            if scene_inl < lcfg.min_scene_inliers_outdoor:
+                return None
         # landmark fusion pairs: both sides map-point-backed
         fuse_pts, fuse_txts = [], []
         for r, keep in zip(rows, inl_np):

@@ -9,7 +9,6 @@ to a single compressed npz; `load` restores a runnable system mid-sequence.
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Optional
 

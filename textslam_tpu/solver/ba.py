@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from ..geometry.camera import project
-from ..ops.interp import bilinear, bilinear_stack, patch_bilinear_stack
+from ..ops.interp import bilinear_stack, patch_bilinear_stack
 
 
 def inv3x3_spd(A: jnp.ndarray) -> jnp.ndarray:

@@ -14,7 +14,7 @@ import numpy as np
 
 from .config import TextSLAMConfig
 from .mapper.state import SlamMap
-from .frontend.frame import Frame, TextDetection, build_frame
+from .frontend.frame import TextDetection, build_frame
 from .frontend.tracking import Tracker, OK
 from .io import trajectory
 
