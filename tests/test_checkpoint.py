@@ -21,10 +21,10 @@ class TestCheckpoint:
     def test_save_load_resume(self, tmp_path):
         from textslam_tpu.system import TextSLAM
 
-        frames, gt = synth.render_sequence(n_frames=20, seed=0)
+        frames, gt = synth.render_sequence(n_frames=16, seed=0)
         cfg = make_cfg()
         slam = TextSLAM(cfg)
-        half = 12
+        half = 10
         for i in range(half):
             slam.track_monocular(frames[i], float(i))
         assert slam.tracker.state == 1

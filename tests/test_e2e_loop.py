@@ -30,7 +30,7 @@ def make_cfg():
 def result():
     from textslam_tpu.system import TextSLAM
 
-    frames, dets, gt, world = synth.render_text_sequence(n_frames=36, seed=0, kind="outback")
+    frames, dets, gt, world = synth.render_text_sequence(n_frames=32, seed=0, kind="outback")
     slam = TextSLAM(make_cfg())
     tr = slam.tracker
 

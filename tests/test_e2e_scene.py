@@ -15,7 +15,7 @@ import synth
 
 @pytest.fixture(scope="module")
 def sequence():
-    return synth.render_sequence(n_frames=30, seed=0, kind="lateral")
+    return synth.render_sequence(n_frames=22, seed=0, kind="lateral")
 
 
 def make_cfg():
@@ -74,7 +74,7 @@ class TestDeterminism:
         results = []
         for _ in range(2):
             slam = TextSLAM(make_cfg())
-            for i in range(10):
+            for i in range(8):
                 slam.track_monocular(frames[i], float(i))
             results.append((
                 np.stack([slam.map.kf_pose[kf.kid] for kf in slam.map.keyframes]),

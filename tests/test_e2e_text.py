@@ -25,7 +25,7 @@ def make_cfg():
 def result():
     from textslam_tpu.system import TextSLAM
 
-    frames, dets, gt, world = synth.render_text_sequence(n_frames=24, seed=0)
+    frames, dets, gt, world = synth.render_text_sequence(n_frames=20, seed=0)
     slam = TextSLAM(make_cfg())
     for i, img in enumerate(frames):
         slam.track_monocular(img, float(i), detections=dets[i])

@@ -238,12 +238,78 @@ class TextFrontend:
             self._next_key(), jnp.asarray(rays), jnp.asarray(rhos), jnp.asarray(valid)
         )
         if not bool(ok):
-            return None
-        theta = np.asarray(theta)
+            # fallback: KLT-tracked in-box features triangulated against a
+            # neighbouring keyframe (the reference's primary path for later
+            # text objects: TrackNewTextFeat + SolveTheta,
+            # src/tracking.cc:1752-1785, :1870-1917)
+            klt_res = self._theta_from_klt(kid, quad)
+            if klt_res is None:
+                return None
+            theta = klt_res
+        else:
+            theta = np.asarray(theta)
         tid = m.add_text(kid, theta, quad, det.text, det.score, det.lang, state=state)
         m.add_text_observation(kid, tid, det_idx)
         self._extract_reference(tid)
         return tid
+
+    def _theta_from_klt(self, kid: int, quad: np.ndarray):
+        """theta from KLT tracks between this KF and a neighbouring KF."""
+        from ..ops import klt
+        from ..geometry import triangulate as tri
+
+        m = self.map
+        cam = self.cfg.camera
+        others = [k for k in m.window_kfs(6)
+                  if k != kid and m.keyframes[k].pyr_data is not None]
+        if not others or m.keyframes[kid].pyr_data is None:
+            return None
+        other = others[-1]
+        kf_i, kf_j = m.keyframes[kid], m.keyframes[other]
+
+        def unpack_pyr(kf):
+            imgs, grads = [], []
+            for l in range(4):
+                h, w = int(kf.pyr_shapes[l][0]), int(kf.pyr_shapes[l][1])
+                imgs.append(jnp.asarray(kf.pyr_data[l, :h, :w, 0]))
+                grads.append(jnp.asarray(kf.pyr_data[l, :h, :w, 1:3]))
+            return imgs, grads
+
+        pi, gi = unpack_pyr(kf_i)
+        pj, _ = unpack_pyr(kf_j)
+        # in-box strongest-gradient features at level 0
+        h0, w0 = pi[0].shape
+        mu, sigma, _ = rasterize.quad_stats(pi[0], jnp.asarray(quad))
+        uv, _, fvalid = extract_text_features(
+            pi[0], gi[0], jnp.asarray(quad), mu, sigma,
+            self.cfg.text.max_features_per_level,
+        )
+        uv_j, ok = klt.klt_track(pi, gi, pj, uv, fvalid, levels=(3, 2, 1, 0))
+        ok_np = np.asarray(ok)
+        if ok_np.sum() < 5:
+            return None
+        ray_i = unproject(uv, cam.fx, cam.fy, cam.cx, cam.cy)
+        ray_j = unproject(uv_j, cam.fx, cam.fy, cam.cx, cam.cy)
+        P_w = tri.triangulate(ray_i, ray_j, jnp.asarray(m.kf_pose[kid]), jnp.asarray(m.kf_pose[other]))
+        p_i = np.asarray(se3.apply(jnp.asarray(m.kf_pose[kid]), P_w))
+        e_j = np.asarray(tri.reproj_err2(P_w, jnp.asarray(m.kf_pose[other]), uv_j, cam.fx, cam.fy, cam.cx, cam.cy))
+        good = ok_np & (p_i[:, 2] > 0.05) & (e_j < 4.0)
+        if good.sum() < 5:
+            return None
+        N = pad_tier(len(good), 16)
+        rays = np.zeros((N, 3), np.float32)
+        rhos = np.zeros(N, np.float32)
+        valid = np.zeros(N, bool)
+        zs = p_i[:, 2].clip(1e-6)
+        rays[: len(good)] = p_i / zs[:, None]
+        rhos[: len(good)] = 1.0 / zs
+        valid[: len(good)] = good
+        theta, inliers, ok2 = _theta_ransac_kernel(
+            self._next_key(), jnp.asarray(rays), jnp.asarray(rhos), jnp.asarray(valid)
+        )
+        if not bool(ok2):
+            return None
+        return np.asarray(theta)
 
     def _extract_reference(self, tid: int):
         """Per-level reference features + level-0 box pixels for ZNCC."""

@@ -363,6 +363,10 @@ class LoopCloser:
                 if h < K:
                     m.tx_theta[tid] = m.tx_theta[tid] * scales[h]
 
+        # SearchAndFuse (src/loopClosing.cc:1045-1385): project loop-side
+        # landmarks into the corrected window KFs, descriptor-match, fuse
+        self._search_and_fuse(kid, loop_kid, window)
+
         # ---------------- global refinement ----------------
         if self.tracker is not None:
             all_kids = list(range(K))
