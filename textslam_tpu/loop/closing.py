@@ -377,3 +377,48 @@ class LoopCloser:
             self.tracker._local_ba(window_kids=all_kids, fix=all_kids)
         m.rebuild_covis_m1()
         m.rebuild_covis_m23()
+
+    def _search_and_fuse(self, kid: int, loop_kid: int, window):
+        """Project loop-side map points into each window KF under the
+        corrected poses; where a projected loop point matches a keypoint
+        already bound to a (younger) duplicate point, fuse them
+        (SearchAndFuse, src/loopClosing.cc:1045-1385)."""
+        from ..frontend.tracking import search_from_3d, pad_tier, _pad, _pad_pose
+
+        m = self.map
+        cam = self.cfg.camera
+        # loop-side = points hosted at or before the loop KF
+        lp = np.nonzero(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points]
+                        & (m.pt_host[: m.n_points] <= loop_kid))[0]
+        if len(lp) == 0:
+            return
+        P = pad_tier(len(lp))
+        fused = 0
+        for w in sorted(window):
+            kf = m.keyframes[w]
+            host = m.pt_host[lp].clip(0)
+            valid = np.zeros(P, bool)
+            valid[: len(lp)] = True
+            idx, ok, proj, z = search_from_3d(
+                jnp.asarray(_pad(m.pt_ray[lp], P)),
+                jnp.asarray(_pad(m.pt_rho[lp], P)),
+                jnp.asarray(_pad_pose(m.kf_pose[host], P)),
+                jnp.asarray(_pad(m.pt_desc[lp], P)),
+                jnp.asarray(valid),
+                jnp.asarray(m.kf_pose[w]),
+                jnp.asarray(kf.kp_uv), jnp.asarray(kf.kp_desc), jnp.asarray(kf.kp_valid),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                5.0, self.cfg.match.th_low, cam.width, cam.height,
+            )
+            idx, ok = np.asarray(idx), np.asarray(ok)
+            for r in np.nonzero(ok[: len(lp)])[0]:
+                pid_loop = int(lp[r])
+                kp = int(idx[r])
+                pid_cur = int(kf.kp_point[kp])
+                if pid_cur < 0:
+                    m.add_observation(w, kp, pid_loop)
+                elif pid_cur != pid_loop and m.pt_host[pid_cur] > loop_kid:
+                    m.replace_point(pid_cur, pid_loop)
+                    fused += 1
+            if fused > 200:
+                break
