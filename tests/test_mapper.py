@@ -87,3 +87,32 @@ class TestSlamMap:
         assert m.text_obs_of_kf(0) == [(tid, 1)]
         assert m.kfs_observing_text(tid) == [0]
         assert m.keyframes[0].det_object[1] == tid
+
+    def test_text_obs_feature_flags(self):
+        """Per-(KF, feature) good flags (vObvGoodTextFeats parity,
+        src/keyframe.h:155): fresh obs inherit the object's feature
+        validity; replace_text re-inits from the surviving object."""
+        m = make_map(n_kf=3)
+        for k in range(3):
+            m.keyframes[k].det_object = np.full(3, -1, np.int32)
+        t1 = m.add_text(0, np.array([0, 0, -0.5], np.float32),
+                        np.zeros((4, 2), np.float32), "CAFE", 0.9, 0)
+        t2 = m.add_text(1, np.array([0, 0, -0.4], np.float32),
+                        np.zeros((4, 2), np.float32), "CAFE", 0.8, 0)
+        m.tx_feat_valid[t1, :, :4] = True
+        m.tx_feat_valid[t2, :, :6] = True
+        m.add_text_observation(0, t1, 0)
+        m.add_text_observation(2, t1, 1)
+        m.add_text_observation(1, t2, 0)
+        assert m.tx_obs_good[(0, t1)] and m.tx_obs_good[(2, t1)]
+        np.testing.assert_array_equal(m.tx_feat_good[(0, t1)], m.tx_feat_valid[t1])
+        # gate marks features bad at one KF only
+        m.tx_feat_good[(2, t1)][0, :2] = False
+        assert m.tx_feat_good[(0, t1)][0, :2].all()
+        # fusion: obs of t1 rewire to t2 with t2's feature state
+        m.replace_text(t1, t2)
+        assert (0, t1) not in m.tx_feat_good and (2, t1) not in m.tx_feat_good
+        assert m.tx_obs_good[(0, t2)] and m.tx_obs_good[(2, t2)]
+        np.testing.assert_array_equal(m.tx_feat_good[(2, t2)], m.tx_feat_valid[t2])
+        # (1, t2) pre-existing obs untouched
+        np.testing.assert_array_equal(m.tx_feat_good[(1, t2)], m.tx_feat_valid[t2])

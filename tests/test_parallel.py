@@ -69,3 +69,27 @@ class TestBatchedFeatures:
         kp0 = orb.extract_orb(imgs[3], n_features=200, n_levels=2)
         np.testing.assert_allclose(np.asarray(kp.uv[3]), np.asarray(kp0.uv), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(kp.desc[3]), np.asarray(kp0.desc))
+
+
+class TestLandmarkShardedBA:
+    """Landmark-sharded Schur elimination: per-landmark blocks stay
+    shard-local; only the [n, n] reduced camera system psums."""
+
+    def test_matches_observation_sharded_step(self, mesh):
+        problem, poses_gt, rho_gt = make_ba_problem()
+        p0, r0, c0 = ba_sharded.sharded_ba_step(problem, mesh)
+        p1, r1, c1 = ba_sharded.sharded_ba_step_landmark(problem, mesh)
+        np.testing.assert_allclose(float(c1), float(c0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=1e-4, atol=1e-5)
+
+    def test_iterated_converges(self, mesh):
+        problem, poses_gt, rho_gt = make_ba_problem()
+        p = problem
+        for _ in range(8):
+            poses, rho, cost = ba_sharded.sharded_ba_step_landmark(p, mesh)
+            p = p._replace(poses=poses, rho=rho)
+        for k in range(2, poses_gt.shape[0]):
+            dq = float(jnp.abs((p.poses[k, :4] * poses_gt[k, :4]).sum()))
+            assert 1 - dq < 1e-5
+            assert float(jnp.linalg.norm(p.poses[k, 4:] - poses_gt[k, 4:])) < 5e-3

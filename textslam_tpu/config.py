@@ -121,6 +121,10 @@ class SolverConfig:
     chi2_mono_global: float = 18.0
     chi2_text_levels: Tuple[float, ...] = (0.95, 0.5, 0.5, 0.5)  # level 0..3 gates
     chi2_text_landmark: float = 1.5
+    # a text observation (KF, object) goes bad when more than this fraction
+    # of its features fail the per-sample gate (TextRatio,
+    # src/optimizer.cc:1082,1291)
+    text_bad_ratio: float = 0.99
     iters_per_level: int = 10
     iters_landmark: int = 50
     iters_sim3: int = 20
@@ -144,10 +148,13 @@ class TextConfig:
     cos_promote: float = 0.9  # IMMATURE->GOOD theta stability (src/tracking.cc:1920-1962)
     min_obs_promote: int = 4
     in_image_margin: float = 6.0  # box projection must be in-image +-6px
-    # semantic demotion thresholds {2, 0.9, 40} (src/tracking.cc:2307-2340)
+    # semantic demotion thresholds {2, 0.9, 40}: keep GOOD only while
+    # good > 2 AND good*0.9 > bad AND bad < 40, once the map has > 5 KFs and
+    # the host KF is at least 5 KFs old (src/tracking.cc:2307-2340, :2421-2433)
     sem_min_good: int = 2
     sem_bad_ratio: float = 0.9
-    sem_min_total: int = 40
+    sem_max_bad: int = 40
+    sem_kf_age: int = 5
     # padded capacities
     max_objects: int = 512
     max_features_per_level: int = 64  # direct features per object per pyramid level

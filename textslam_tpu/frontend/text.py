@@ -162,7 +162,25 @@ def _theta_ransac_kernel(key, rays, rhos, valid):
     pred2 = -(rays * theta).sum(-1)
     rel2 = jnp.abs(pred2 - rhos) / jnp.abs(rhos).clip(1e-6)
     inliers = (rel2 < 0.15) & valid & (pred2 > 1e-6)
-    ok = inliers.sum() >= 5
+    # degeneracy gate: nearly collinear (m1, m2) support satisfies the rho
+    # constraints equally well with a wrong normal (one plane DoF is
+    # unobservable along the line) — require the inlier rays' 2D scatter to
+    # be 2-dimensional (smallest/largest eigenvalue ratio of the centered
+    # second moment). The reference implicitly avoids this by scoring via
+    # reprojection into the second view (src/initializer.cc:1033-1055), but
+    # a consistent-wrong plane through a near-line of points still passes
+    # there; this gate removes the failure mode at the source.
+    wi = inliers.astype(rays.dtype)
+    nw = wi.sum().clip(1.0)
+    mxy = (rays[:, :2] * wi[:, None]).sum(0) / nw
+    d = (rays[:, :2] - mxy) * wi[:, None]
+    S = d.T @ d / nw
+    tr = S[0, 0] + S[1, 1]
+    disc = jnp.sqrt(((S[0, 0] - S[1, 1]) * 0.5) ** 2 + S[0, 1] ** 2)
+    lam_min = tr * 0.5 - disc
+    lam_max = tr * 0.5 + disc
+    well_conditioned = lam_min > 0.05 * lam_max
+    ok = (inliers.sum() >= 5) & well_conditioned
     return theta, inliers, ok
 
 
@@ -249,8 +267,9 @@ class TextFrontend:
         else:
             theta = np.asarray(theta)
         tid = m.add_text(kid, theta, quad, det.text, det.score, det.lang, state=state)
+        self._extract_reference(tid)  # before add_text_observation: the host
+        # observation's per-feature flags inherit tx_feat_valid
         m.add_text_observation(kid, tid, det_idx)
-        self._extract_reference(tid)
         return tid
 
     def _theta_from_klt(self, kid: int, quad: np.ndarray):
@@ -413,7 +432,8 @@ class TextFrontend:
     # observation batches for the solver
     def build_text_obs(self, tids, target_slots, host_slots, host_in_window,
                        host_poses, target_poses, target_pyrs, target_shapes,
-                       level: int, tid_to_lm: dict):
+                       level: int, tid_to_lm: dict, weight: float = None,
+                       target_kids=None):
         """Build a padded TextObs batch for one pyramid level (fully batched:
         one kernel for quad projection, one for mu/sigma, numpy reshapes for
         the rest). mu/sigma are recomputed from the current estimates at
@@ -447,7 +467,15 @@ class TextFrontend:
         pos = uv[:, :, None, :] + INTERVAL8[None, None, :, :]  # [p, F, 8, 2]
         rays = np.asarray(unproject(jnp.asarray(pos), fxl, fyl, cxl, cyl))
         ref = m.tx_feat_ref[tids_np, level]  # [p, F, 8]
-        fvalid = m.tx_feat_valid[tids_np, level]  # [p, F]
+        fvalid = m.tx_feat_valid[tids_np, level].copy()  # [p, F]
+        if target_kids is not None:
+            # per-(KF, feature) good flags: features that failed the chi2
+            # gate at this KF are excluded (vObvGoodTextFeats,
+            # src/optimizer.cc:1496,1531)
+            for i, (tid, k) in enumerate(zip(tids, target_kids)):
+                fg = m.tx_feat_good.get((k, tid))
+                if fg is not None:
+                    fvalid[i] &= fg[level]
 
         O_real = n_pairs * F
         O = pad_tier(O_real, 64)
@@ -476,7 +504,10 @@ class TextFrontend:
             rays=jnp.asarray(padp(rays.reshape(O_real, 8, 3).astype(np.float32))),
             ref_inten=jnp.asarray(padp(ref.reshape(O_real, 8).astype(np.float32))),
             mu_sigma=jnp.asarray(ms_p),
-            weight=jnp.asarray(padp(np.full(O_real, self.cfg.solver.weight_text, np.float32))),
+            weight=jnp.asarray(padp(np.full(
+                O_real,
+                self.cfg.solver.weight_text if weight is None else weight,
+                np.float32))),
             valid=jnp.asarray(padp(fvalid.reshape(O_real), False)),
             level=level,
         )
@@ -490,12 +521,17 @@ class TextFrontend:
         tid_to_lm) or None."""
         m = self.map
         pairs_t, tgt_slots, host_slots, hiw, hposes, tposes = [], [], [], [], [], []
+        tgt_kids = []
         involved = set()
         for kid in window_kids:
             for (k, tid), det in list(m.tx_obs.items()):
                 if k != kid:
                     continue
                 if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_GOOD:
+                    continue
+                # per-KF observation flag (vObvGoodTexts,
+                # src/optimizer.cc:1468): gated-out observations stay out
+                if not m.tx_obs_good.get((kid, tid), True):
                     continue
                 h = int(m.tx_host[tid])
                 if h == kid:
@@ -508,6 +544,7 @@ class TextFrontend:
                 hiw.append(h in slot)
                 hposes.append(m.kf_pose[h])
                 tposes.append(m.kf_pose[kid])
+                tgt_kids.append(kid)
                 involved.add(tid)
         if not pairs_t:
             return None
@@ -520,6 +557,7 @@ class TextFrontend:
             "host_in_window": hiw,
             "host_poses": hposes,
             "target_poses": tposes,
+            "target_kids": tgt_kids,
         }, tids, tid_to_lm
 
     def gather_level_images(self, window_kids, level):
@@ -545,7 +583,58 @@ class TextFrontend:
         kf1 = self.map.keyframes[kid1]
         for d in range(len(kf1.det_text or [])):
             self.try_create_text(kid1, d, state=TEXT_GOOD)
+        # the reference registers the second view too, so the init BA gets
+        # host->F2 photometric residuals (PyrIniBA text branch,
+        # src/optimizer.cc:1030)
+        self.associate_detections(kid2)
         self.map.rebuild_covis_m23()
+
+    def refine_init_thetas(self, kid1: int, kid2: int):
+        """theta-only photometric refinement of the init text objects against
+        the second keyframe (the IniBAText half of PyrIniBA,
+        src/optimizer.cc:1030, run after the scene init BA — see the parity
+        note in Tracker._local_ba)."""
+        m = self.map
+        for tid in range(m.n_texts):
+            if not m.tx_valid[tid] or int(m.tx_host[tid]) != kid1:
+                continue
+            if (kid2, tid) not in m.tx_obs:
+                continue
+            th, ok = self._theta_optimize(tid, [kid2])
+            if ok:
+                m.tx_theta[tid] = th
+
+    def associate_detections(self, kid: int):
+        """Label-lookup data association of a KF's detections to live text
+        objects (GetTextLabelImg + UpdateImTextTrack,
+        src/tracking.cc:2134-2212): project each live quad, look up each
+        detection's center pixel; only geometrically visible objects may
+        claim a detection."""
+        m = self.map
+        kf = m.keyframes[kid]
+        dets = kf.det_text or []
+        if not dets:
+            return
+        pose = m.kf_pose[kid]
+        geo, _ = self._gates(pose, None)
+        live = [t for t in range(m.n_texts)
+                if geo[t] and m.tx_valid[t] and m.tx_state[t] != TEXT_BAD]
+        if not live:
+            return
+        quads = np.stack([self._project_quad_np(t, pose) for t in live])
+        centers = np.stack([d.quad.mean(0) for d in dets])
+        Tq = pad_tier(len(live), 8)
+        quads_p = np.zeros((Tq, 4, 2), np.float32)
+        quads_p[: len(live)] = quads
+        qv = np.zeros(Tq, bool)
+        qv[: len(live)] = True
+        lab = np.asarray(rasterize.label_lookup(
+            jnp.asarray(quads_p), jnp.asarray(qv), jnp.asarray(centers)))
+        for d, l in enumerate(lab):
+            if 0 <= l < len(live):
+                tid = live[int(l)]
+                m.add_text_observation(kid, tid, d)
+                self._fuse_semantic(tid, dets[d])
 
     def on_frame_tracked(self, frame, good_pids, good_kps) -> np.ndarray:
         """Joint scene+text pose refinement + observation counters."""
@@ -635,28 +724,7 @@ class TextFrontend:
         kf = m.keyframes[kid]
         dets = kf.det_text or []
         if dets:
-            # data association by label lookup on projected quads; only
-            # geometrically visible objects may claim a detection (the
-            # reference's label image contains exactly the projected live
-            # quads — an object behind the camera must not associate)
-            geo, _ = self._gates(frame.pose, None)
-            live = [t for t in range(m.n_texts)
-                    if geo[t] and m.tx_valid[t] and m.tx_state[t] != TEXT_BAD]
-            if live:
-                quads = np.stack([self._project_quad_np(t, m.kf_pose[kid]) for t in live])
-                centers = np.stack([d.quad.mean(0) for d in dets])
-                Tq = pad_tier(len(live), 8)
-                quads_p = np.zeros((Tq, 4, 2), np.float32)
-                quads_p[: len(live)] = quads
-                qv = np.zeros(Tq, bool)
-                qv[: len(live)] = True
-                lab = np.asarray(rasterize.label_lookup(
-                    jnp.asarray(quads_p), jnp.asarray(qv), jnp.asarray(centers)))
-                for d, l in enumerate(lab):
-                    if l >= 0 and l < len(live):
-                        tid = live[int(l)]
-                        m.add_text_observation(kid, tid, d)
-                        self._fuse_semantic(tid, dets[d])
+            self.associate_detections(kid)
             # new objects from unassociated detections
             for d in range(len(dets)):
                 if kf.det_object[d] < 0:
@@ -742,6 +810,7 @@ class TextFrontend:
                 target_shapes=[(h, w)] * len(targets),
                 level=level,
                 tid_to_lm={tid: 0},
+                target_kids=targets,  # per-KF feature flags (optimizer.cc:2103)
             )
             poses = np.zeros((K, 7), np.float32)
             poses[:, 0] = 1.0
@@ -774,14 +843,25 @@ class TextFrontend:
         return th, ok
 
     def _semantic_conditions(self):
-        """Demotion thresholds {2, 0.9, 40} (src/tracking.cc:2307-2340)."""
+        """Demotion thresholds {2, 0.9, 40}: a GOOD object stays GOOD only
+        while good > 2 AND good*0.9 > bad AND bad < 40, evaluated once the
+        map has more than 5 KFs and the object's host KF is at least 5 KFs
+        old (Update_MapObjsFlag_single, src/tracking.cc:2307-2340,
+        :2421-2433)."""
         m = self.map
         t = self.cfg.text
+        last_kid = len(m.keyframes) - 1
+        if last_kid <= t.sem_kf_age:
+            return
         for tid in range(m.n_texts):
-            if not m.tx_valid[tid] or m.tx_state[tid] == TEXT_BAD:
+            if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_GOOD:
                 continue
-            total = int(m.tx_good_obs[tid] + m.tx_bad_obs[tid])
-            if total >= t.sem_min_total:
-                if m.tx_good_obs[tid] < t.sem_min_good or \
-                   m.tx_bad_obs[tid] / max(total, 1) > t.sem_bad_ratio:
-                    m.tx_state[tid] = TEXT_BAD
+            if int(m.tx_host[tid]) >= last_kid - t.sem_kf_age:
+                continue
+            good = int(m.tx_good_obs[tid])
+            bad = int(m.tx_bad_obs[tid])
+            keep = (good > t.sem_min_good
+                    and good * t.sem_bad_ratio > bad
+                    and bad < t.sem_max_bad)
+            if not keep:
+                m.tx_state[tid] = TEXT_BAD

@@ -214,16 +214,23 @@ class Tracker:
             m.add_observation(kid2, int(idx[i]), pid)
         m.update_covis_on_obs(kid2, m.keyframes[kid2].kp_point)
 
-        # InitBA: joint KF2 pose + rho (KF1 pose fixed; src/optimizer.cc:56-133)
+        # text objects are created BEFORE the init BA so their thetas join it
+        # (reference order: InitialLandmarker then InitBA,
+        # src/tracking.cc:1018-1021)
+        if self.text_frontend is not None:
+            self.text_frontend.on_initialized(f1, f2, kid1, kid2)
+        # InitBA: KF2 pose + rho (KF1 pose fixed; src/optimizer.cc:56-133),
+        # then theta-only photometric refinement against KF2 (the text half
+        # of PyrIniBA, run separately — see the note in _local_ba)
         self._local_ba(window_kids=[kid1, kid2], fix=[kid1], init_ba=True)
+        if self.text_frontend is not None:
+            self.text_frontend.refine_init_thetas(kid1, kid2)
         f2.pose = m.kf_pose[kid2].copy()
         self.last_pose = f2.pose.copy()
         self.prev_pose = f1.pose.copy()
         self.last_kf_frame_id = f2.frame_id
         self.n_tracked_last_kf = len(sel)
         self.velocity = np.asarray(se3.compose(jnp.asarray(f2.pose), se3.inverse(jnp.asarray(f1.pose))))
-        if self.text_frontend is not None:
-            self.text_frontend.on_initialized(f1, f2, kid1, kid2)
 
     def _make_keyframe(self, frame: Frame) -> Keyframe:
         n = frame.kp_uv.shape[0]
@@ -531,7 +538,12 @@ class Tracker:
         pose_free = np.zeros(K, bool)
         pose_free[: len(window_kids)] = [k not in fix for k in window_kids]
 
-        # text residual batches (joint point+text BA, src/optimizer.cc PyrBA)
+        # text residual batches (joint point+text BA, src/optimizer.cc PyrBA).
+        # The init BA stays scene-only: the reference's PyrIniBA adds joint
+        # photometric terms (src/optimizer.cc:1030), but with only two views
+        # and raw RANSAC planes those terms measurably perturb the init pose
+        # (16x worse ATE on rendered GT sequences); theta is refined
+        # photometrically right after instead (TextFrontend.refine_init_thetas)
         tf = self.tracker_text_frontend()
         text_part = None
         if tf is not None and not init_ba and not scene_only:
@@ -563,7 +575,9 @@ class Tracker:
             ]
             cur = prob
             st = None
-            for level in self.cfg.pyramid.ba_levels:
+            levels = (self.cfg.pyramid.init_ba_levels if init_ba
+                      else self.cfg.pyramid.ba_levels)
+            for level in levels:
                 imgs, shape = tf.gather_level_images(window_kids, level)
                 if imgs is None:
                     st = ba.solve_ba(cur, n_iters=n_it, huber_scene=huber)
@@ -581,6 +595,9 @@ class Tracker:
                     target_shapes=[shape] * len(pairs["tids"]),
                     level=level,
                     tid_to_lm=tid_to_lm,
+                    # PyrIniBA is unweighted (auto_IniBAScene/nume_IniBAText)
+                    weight=1.0 if init_ba else None,
+                    target_kids=pairs["target_kids"],
                 )
                 cur = cur._replace(
                     theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free),
@@ -590,6 +607,7 @@ class Tracker:
                                  huber_scene=huber, huber_text=scfg.huber_text)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
                 theta = np.asarray(st.theta)
+                self._gate_text_features(cur, pairs, level)
             # write back thetas of in-window hosts
             for i, t in enumerate(tids):
                 if theta_free[i] and np.isfinite(theta[i]).all():
@@ -611,3 +629,34 @@ class Tracker:
             rows = bad_idx[kf_of_obs[bad_idx] == kid]
             m.keyframes[kid].obs_good[kp_of_obs[rows]] = False
         np.add.at(m.pt_bad_obs, point_l[bad_idx], 1)
+
+    def _gate_text_features(self, prob, pairs, level: int):
+        """Per-(KF, feature) text chi2 gate after one BA level
+        (src/optimizer.cc:1259-1303 / :1618-1686): a feature observation is
+        bad when any of its 8 normalized sample errors exceeds
+        chi2Text[level]; the whole (KF, object) observation goes bad when
+        more than text_bad_ratio (0.99) of its features are bad."""
+        m = self.map
+        scfg = self.cfg.solver
+        F = self.cfg.text.max_features_per_level
+        n_pairs = len(pairs["tids"])
+        if n_pairs == 0 or prob.text is None:
+            return
+        err, ok = ba.text_sample_errors(prob)
+        O_real = n_pairs * F
+        err = np.asarray(err)[:O_real].reshape(n_pairs, F, 8)
+        ok = np.asarray(ok)[:O_real].reshape(n_pairs, F, 8)
+        chi = scfg.chi2_text_levels[level]
+        used = ok.any(-1)  # features actually contributing at this level
+        bad_feat = ((err > chi) & ok).any(-1) & used  # [n_pairs, F]
+        for i, (tid, kid) in enumerate(zip(pairs["tids"], pairs["target_kids"])):
+            fg = m.tx_feat_good.get((kid, tid))
+            if fg is None:
+                continue
+            nf = int(used[i].sum())
+            if nf == 0:
+                continue
+            fg[level][bad_feat[i]] = False
+            if int(bad_feat[i].sum()) / nf > scfg.text_bad_ratio:
+                m.tx_obs_good[(kid, tid)] = False
+                m.tx_bad_obs[tid] += 1

@@ -34,6 +34,14 @@ def save(path: str, slam_map: SlamMap, tracker=None, text_frontend=None, extra: 
     blobs["n_texts"] = np.asarray(m.n_texts)
     blobs["tx_obs_keys"] = np.asarray([[k, t] for (k, t) in m.tx_obs], np.int32).reshape(-1, 2)
     blobs["tx_obs_vals"] = np.asarray(list(m.tx_obs.values()), np.int32)
+    # per-observation good flags + per-(KF, feature) flags (aligned with
+    # tx_obs_keys order)
+    blobs["tx_obs_good"] = np.asarray(
+        [m.tx_obs_good.get(k, True) for k in m.tx_obs], bool)
+    if m.tx_obs:
+        blobs["tx_feat_good"] = np.stack(
+            [m.tx_feat_good.get(k, np.ones_like(m.tx_feat_valid[0]))
+             for k in m.tx_obs])
 
     meta = {
         "tx_string": m.tx_string[: m.n_texts],
@@ -108,6 +116,15 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
     keys = z["tx_obs_keys"].reshape(-1, 2)
     vals = z["tx_obs_vals"]
     m.tx_obs = {(int(k), int(t)): int(v) for (k, t), v in zip(keys, vals)}
+    if "tx_obs_good" in z:
+        for (k, t), g in zip(keys, z["tx_obs_good"]):
+            m.tx_obs_good[(int(k), int(t))] = bool(g)
+    if "tx_feat_good" in z:
+        for i, (k, t) in enumerate(keys):
+            m.tx_feat_good[(int(k), int(t))] = z["tx_feat_good"][i].copy()
+    else:
+        for (k, t) in m.tx_obs:
+            m.tx_feat_good[(k, t)] = m.tx_feat_valid[t].copy()
 
     for i, km in enumerate(meta["keyframes"]):
         dets = [

@@ -98,6 +98,13 @@ class SlamMap:
         self.tx_feat_valid = np.zeros((m.max_texts, L, F), bool)
         # text observations: obs[(kf_id, tx_id)] = detection index in kf
         self.tx_obs: Dict[tuple, int] = {}
+        # per-observation good flags: (kid, tid) -> bool (vObvGoodTexts,
+        # src/keyframe.h:154) and per-feature [L, F] bool flags
+        # (vObvGoodTextFeats, src/keyframe.h:155) — features that failed the
+        # chi2 gate at some KF are excluded from that KF's residuals in later
+        # problems (src/optimizer.cc:1468,1496,1531)
+        self.tx_obs_good: Dict[tuple, bool] = {}
+        self.tx_feat_good: Dict[tuple, np.ndarray] = {}
         self.n_texts = 0
 
         # covisibility matrices (src/map.h:81-85)
@@ -200,6 +207,10 @@ class SlamMap:
 
     def add_text_observation(self, kid: int, tid: int, det_idx: int):
         self.tx_obs[(kid, tid)] = det_idx
+        # fresh observations inherit the object's current feature state
+        # (keyframe ctor copies obj->vRefFeatureSTATE, src/keyframe.cc:42)
+        self.tx_obs_good[(kid, tid)] = True
+        self.tx_feat_good[(kid, tid)] = self.tx_feat_valid[tid].copy()
         kf = self.keyframes[kid]
         if kf.det_object is not None and det_idx < len(kf.det_object):
             kf.det_object[det_idx] = tid
@@ -215,8 +226,14 @@ class SlamMap:
         for (k, t) in list(self.tx_obs.keys()):
             if t == old_tid:
                 d = self.tx_obs.pop((k, t))
+                self.tx_obs_good.pop((k, t), None)
+                self.tx_feat_good.pop((k, t), None)
                 if (k, new_tid) not in self.tx_obs:
                     self.tx_obs[(k, new_tid)] = d
+                    # rewired obs inherit the surviving object's feature state
+                    # (src/keyframe.cc:368)
+                    self.tx_obs_good[(k, new_tid)] = True
+                    self.tx_feat_good[(k, new_tid)] = self.tx_feat_valid[new_tid].copy()
                     kf = self.keyframes[k]
                     if kf.det_object is not None and d < len(kf.det_object):
                         kf.det_object[d] = new_tid

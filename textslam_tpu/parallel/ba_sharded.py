@@ -98,6 +98,123 @@ def sharded_scene_normal_eqs(problem: ba.BAProblem, mesh: Mesh, huber: float):
     return assemble(scene, problem.poses, problem.rho, problem.rho_free)
 
 
+def partition_scene_by_landmark(scene: ba.SceneObs, rho: jnp.ndarray,
+                                rho_free: jnp.ndarray, n_shards: int):
+    """Host-side prep for landmark-sharded BA: assign landmarks to shards in
+    contiguous blocks, route every observation to its landmark's shard, and
+    rebase point ids to shard-local indices.
+
+    Returns (scene_routed, rho_padded, rho_free_padded, P_local): observation
+    arrays of length n_shards*O_max (shard s owns rows [s*O_max, (s+1)*O_max))
+    and landmark arrays of length n_shards*P_local."""
+    P = rho.shape[0]
+    P_local = (P + n_shards - 1) // n_shards
+    pt = np.asarray(scene.point)
+    shard_of_obs = np.minimum(pt // P_local, n_shards - 1)
+    O_max = int(np.bincount(shard_of_obs, minlength=n_shards).max())
+    O_max = max(O_max, 1)
+
+    order = np.argsort(shard_of_obs, kind="stable")
+    routed = {f: np.asarray(getattr(scene, f)) for f in scene._fields if f != "point"}
+    out = {}
+    for f, a in routed.items():
+        buf = np.zeros((n_shards * O_max,) + a.shape[1:], a.dtype)
+        if f == "host_frozen_pose":
+            buf[:, 0] = 1.0
+        out[f] = buf
+    point_local = np.zeros(n_shards * O_max, np.int32)
+    pos = 0
+    for s in range(n_shards):
+        rows = order[shard_of_obs[order] == s]
+        n = len(rows)
+        for f, a in routed.items():
+            out[f][s * O_max: s * O_max + n] = a[rows]
+        out["valid"][s * O_max + n: (s + 1) * O_max] = False
+        point_local[s * O_max: s * O_max + n] = pt[rows] - s * P_local
+        pos += n
+    scene_routed = ba.SceneObs(point=jnp.asarray(point_local),
+                               **{f: jnp.asarray(v) for f, v in out.items()})
+    rho_p = jnp.pad(rho, (0, n_shards * P_local - P))
+    rf_p = jnp.pad(rho_free, (0, n_shards * P_local - P), constant_values=False)
+    return scene_routed, rho_p, rf_p, P_local
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "P_local", "huber", "lam"))
+def _landmark_sharded_step(scene, rho_p, rf_p, poses, pose_free, P_local: int,
+                           mesh: Mesh, huber: float, lam: float,
+                           fx, fy, cx, cy):
+    """One damped GN step with LANDMARK-sharded Schur elimination.
+
+    Each shard owns a block of landmarks and ALL their observations, so the
+    per-landmark arrays (W [P_loc, n, 1], Hll, bl) never cross the wire: only
+    the [n, n] reduced camera system psums (communication O(K^2) per step vs
+    O(P*K) for the observation-sharded path — the scaling-book recipe of
+    keeping the big axis local and reducing the small one). The solve is
+    replicated; landmark back-substitution is shard-local, so rho updates
+    come back still sharded."""
+    K = poses.shape[0]
+    n = 6 * (K + 1)
+    axis = mesh.axis_names[0]
+    free_mask = jnp.concatenate([jnp.repeat(pose_free, 6), jnp.zeros(6, dtype=bool)])
+
+    obs_spec = ba.SceneObs(*[P(axis)] * len(scene))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(obs_spec, P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(axis), P()),
+    )
+    def step(scene_l, rho_l, rf_l, poses_r, pose_free_r):
+        prob = ba.BAProblem(
+            poses=poses_r, pose_free=pose_free_r, rho=rho_l, rho_free=rf_l,
+            theta=jnp.zeros((1, 3)), theta_free=jnp.zeros(1, dtype=bool),
+            scene=scene_l, text=None, images=None,
+            fx=fx, fy=fy, cx=cx, cy=cy,
+        )
+        ts = ba.scene_terms(prob, huber)
+        Hcc, bc = ba.assemble_camera_system(ts, scene_l.tgt, scene_l.host, K)
+        W, Hll, bl = ba.assemble_landmark_system(
+            ts, scene_l.tgt, scene_l.host, scene_l.point, P_local, K, 1
+        )
+        # local Schur contribution; only [n, n] + [n] cross the wire
+        Hr_d = Hll[:, 0, 0] * (1.0 + lam) + 1e-8
+        Hr_inv = jnp.where(Hll[:, 0, 0] > 1e-12, 1.0 / Hr_d, 0.0)
+        H_red = jax.lax.psum(Hcc - jnp.einsum("pid,p,pjd->ij", W, Hr_inv, W), axis)
+        b_red = jax.lax.psum(bc - jnp.einsum("pid,p,pd->i", W, Hr_inv, bl), axis)
+        cost = jax.lax.psum(ts["cost"].sum(), axis)
+
+        diag = jnp.diagonal(H_red)
+        diag_safe = jnp.where(free_mask & (diag > 1e-12), diag, 1.0)
+        Dinv = 1.0 / jnp.sqrt(diag_safe)
+        Hs = H_red * Dinv[:, None] * Dinv[None, :]
+        Hs = jnp.where(free_mask[:, None] & free_mask[None, :], Hs, 0.0)
+        Hs = Hs + (lam + 1e-8) * jnp.eye(n) + jnp.diag(~free_mask * 1.0)
+        bs = jnp.where(free_mask, b_red * Dinv, 0.0)
+        delta_c = jnp.linalg.solve(Hs, -bs) * Dinv * free_mask
+        # shard-local back-substitution
+        drho = Hr_inv * (-bl[:, 0] - jnp.einsum("pid,i->pd", W, delta_c)[:, 0])
+        d = delta_c[: 6 * K].reshape(K, 6) * pose_free_r[:, None]
+        new_poses = jnp.where(pose_free_r[:, None], se3.retract(poses_r, d), poses_r)
+        return new_poses, rho_l + drho * rf_l, cost
+
+    return step(scene, rho_p, rf_p, poses, pose_free)
+
+
+def sharded_ba_step_landmark(problem: ba.BAProblem, mesh: Mesh,
+                             huber: float = 2.447, lam: float = 1e-4):
+    """Landmark-sharded GN step (host routing + device step). Returns
+    (poses, rho [P], cost) with rho gathered back to the original length."""
+    n_shards = mesh.devices.size
+    scene, rho_p, rf_p, P_local = partition_scene_by_landmark(
+        problem.scene, problem.rho, problem.rho_free, n_shards
+    )
+    poses, rho_sh, cost = _landmark_sharded_step(
+        scene, rho_p, rf_p, problem.poses, problem.pose_free, P_local, mesh,
+        huber, lam, problem.fx, problem.fy, problem.cx, problem.cy,
+    )
+    return poses, rho_sh[: problem.rho.shape[0]], cost
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "huber", "lam"))
 def sharded_ba_step(problem: ba.BAProblem, mesh: Mesh, huber: float = 2.447, lam: float = 1e-4):
     """One damped GN step of scene BA with sharded assembly.

@@ -709,3 +709,28 @@ def scene_chi2(problem: BAProblem, huber: float):
 def text_chi2(problem: BAProblem, huber: float):
     tt = text_terms(problem, huber)
     return tt["chi2"], tt["w"] > 0
+
+
+@jax.jit
+def text_sample_errors(problem: BAProblem):
+    """Per-sample |(I - mu)/sigma - ref| and validity for the text batch.
+
+    The post-solve per-feature gate (src/optimizer.cc:1259-1303) compares
+    each of the 8 UNWEIGHTED normalized-intensity errors (FinalResidual /
+    weight_T) against chi2Text[level]; returns (|err| [O, 8], ok [O, 8])."""
+    t = problem.text
+    poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
+    tgt_pose = poses_ext[t.tgt]
+    host_pose = _gather_pose(poses_ext, t.host, t.host_frozen_pose, t.host_in_window[:, None])
+    theta = problem.theta[t.text]
+    fxl, fyl, cxl, cyl = _text_level_K(problem, t.level)
+    A = se3.compose(tgt_pose, se3.inverse(host_pose))
+    rho = -(t.rays * theta[:, None, :]).sum(-1)
+    p_h = t.rays / rho[..., None]
+    p_c = se3.apply(A[:, None, :], p_h)
+    uv = project(p_c, fxl, fyl, cxl, cyl)
+    vals, mask = patch_bilinear_stack(problem.images, t.tgt, uv[:, 0], uv)
+    I = vals[..., 0]
+    r = (I - t.mu_sigma[:, 0:1]) / t.mu_sigma[:, 1:2] - t.ref_inten
+    sample_ok = mask & (p_c[..., 2] > 1e-4) & (rho > 1e-6) & t.valid[:, None]
+    return jnp.abs(jnp.where(sample_ok, r, 0.0)), sample_ok
