@@ -64,7 +64,7 @@ def main():
     n_iters = 10
 
     def run():
-        state = ba.solve_ba(problem, n_iters=n_iters)
+        state = ba.solve_ba(problem, n_iters=n_iters, text_pair_feat=64)
         state.poses.block_until_ready()
         return state
 

@@ -116,3 +116,65 @@ class TestSlamMap:
         np.testing.assert_array_equal(m.tx_feat_good[(2, t2)], m.tx_feat_valid[t2])
         # (1, t2) pre-existing obs untouched
         np.testing.assert_array_equal(m.tx_feat_good[(1, t2)], m.tx_feat_valid[t2])
+
+
+class TestSemanticFusion:
+    """Argmin S_semantic = S_geo + S_mean fusion
+    (UpdateSemantic_MapObjs_single + GetSgeo, src/tracking.cc:2362-2527)."""
+
+    def _frontend(self):
+        from textslam_tpu.frontend.text import TextFrontend
+
+        cfg = TextSLAMConfig(camera=CameraConfig(fx=400, fy=400, cx=160, cy=120))
+        m = SlamMap(cfg)
+        # KF0 at origin looking +z; KF1 shifted far along x (larger d)
+        kf_kwargs = dict(
+            kp_uv=np.zeros((4, 2), np.float32), kp_level=np.zeros(4, np.int32),
+            kp_angle=np.zeros(4, np.float32),
+            kp_desc=np.zeros((4, 8), np.uint32), kp_valid=np.ones(4, bool),
+            kp_point=np.full(4, -1, np.int32), obs_good=np.zeros(4, bool),
+        )
+        m.add_keyframe(Keyframe(kid=-1, frame_id=0, timestamp=0.0, **kf_kwargs),
+                       np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
+        m.add_keyframe(Keyframe(kid=-1, frame_id=5, timestamp=1.0, **kf_kwargs),
+                       np.array([1, 0, 0, 0, -4.0, 0, 0], np.float32))
+        fe = TextFrontend(cfg, m, tracker=None)
+        # plane z=2 hosted in KF0: theta with -ray.theta = 1/z -> (0,0,-0.5)
+        quad = np.array([[140, 100], [180, 100], [180, 140], [140, 140]], np.float32)
+        tid = m.add_text(0, np.array([0, 0, -0.5], np.float32), quad, "", 0.0, 0)
+        return fe, m, tid
+
+    class Det:
+        def __init__(self, text, score):
+            self.text, self.score, self.lang = text, score, 0
+
+    def test_argmin_selects_better_observation(self):
+        fe, m, tid = self._frontend()
+        # low-confidence string first
+        fe._fuse_semantic(tid, self.Det("CAFF", 0.4), kid=0)
+        assert m.tx_string[tid] == "CAFF"
+        s1 = float(m.tx_sem_score[tid])
+        # same KF, higher confidence -> smaller S_mean -> wins
+        fe._fuse_semantic(tid, self.Det("CAFE", 0.95), kid=0)
+        assert m.tx_string[tid] == "CAFE"
+        assert m.tx_sem_score[tid] < s1
+        # worse observation later does NOT overwrite
+        fe._fuse_semantic(tid, self.Det("CHFE", 0.3), kid=1)
+        assert m.tx_string[tid] == "CAFE"
+
+    def test_geometry_breaks_score_ties(self):
+        fe, m, tid = self._frontend()
+        # equal recognition scores: the frontal/closer KF0 view must win
+        # over the oblique/distant KF1 view regardless of arrival order
+        fe._fuse_semantic(tid, self.Det("FAR", 0.9), kid=1)
+        fe._fuse_semantic(tid, self.Det("NEAR", 0.9), kid=0)
+        assert m.tx_string[tid] == "NEAR"
+        s_geo0 = fe._s_geo(tid, 0)
+        s_geo1 = fe._s_geo(tid, 1)
+        assert s_geo0 < s_geo1
+
+    def test_stopwords_ignored(self):
+        fe, m, tid = self._frontend()
+        fe._fuse_semantic(tid, self.Det("#", 0.99), kid=0)
+        assert m.tx_string[tid] == ""
+        assert np.isinf(m.tx_sem_score[tid])

@@ -155,6 +155,11 @@ class TextConfig:
     sem_bad_ratio: float = 0.9
     sem_max_bad: int = 40
     sem_kf_age: int = 5
+    # semantic meaning fusion: S_semantic = S_geo + S_mean, argmin wins;
+    # S_mean = (1 - score)*200, S_geo = (1 + cos)*10 + d
+    # (UpdateSemantic_MapObjs_single + GetSgeo, src/tracking.cc:2362-2527)
+    sem_weight_mean: float = 200.0
+    sem_weight_view: float = 10.0
     # padded capacities
     max_objects: int = 512
     max_features_per_level: int = 64  # direct features per object per pyramid level

@@ -18,7 +18,9 @@ photometric problems of src/optimizer.cc:
   (ThetaOptimMultiFs + TextUpdate, src/tracking.cc:1920-1962)
 - label data association of detections to objects (GetTextLabelMask analog,
   ops.rasterize.label_lookup)
-- semantic string fusion by detection score and good/bad demotion counters
+- semantic string fusion by argmin S_semantic = S_geo + S_mean over
+  observations (UpdateSemantic_MapObjs_single + GetSgeo,
+  src/tracking.cc:2362-2527) and good/bad demotion counters
   (UpdateSemantic_Condtions, src/tracking.cc:2307-2340)
 """
 
@@ -199,7 +201,6 @@ class TextFrontend:
         L = max(cfg.pyramid.init_ba_levels) + 1
         self.n_levels = L
         self.tx_host_stats = np.zeros((m.max_texts, L, 2), np.float32)
-        self._sem_votes = {}  # tid -> {string: accumulated score}
         self._key = jax.random.PRNGKey(cfg.seed + 1)
 
     def _next_key(self):
@@ -270,6 +271,7 @@ class TextFrontend:
         self._extract_reference(tid)  # before add_text_observation: the host
         # observation's per-feature flags inherit tx_feat_valid
         m.add_text_observation(kid, tid, det_idx)
+        self._fuse_semantic(tid, det, kid)  # score the host observation too
         return tid
 
     def _theta_from_klt(self, kid: int, quad: np.ndarray):
@@ -634,7 +636,7 @@ class TextFrontend:
             if 0 <= l < len(live):
                 tid = live[int(l)]
                 m.add_text_observation(kid, tid, d)
-                self._fuse_semantic(tid, dets[d])
+                self._fuse_semantic(tid, dets[d], kid)
 
     def on_frame_tracked(self, frame, good_pids, good_kps) -> np.ndarray:
         """Joint scene+text pose refinement + observation counters."""
@@ -715,7 +717,8 @@ class TextFrontend:
             )
             st = ba.solve_ba(prob, n_iters=scfg.iters_per_level,
                              huber_scene=scfg.huber_scene_pose,
-                             huber_text=scfg.huber_text)
+                             huber_text=scfg.huber_text,
+                             text_pair_feat=self.cfg.text.max_features_per_level)
             cur = np.asarray(st.poses[0])
         return cur
 
@@ -741,21 +744,41 @@ class TextFrontend:
         pc = np.asarray(se3.apply(jnp.asarray(pose_cw.astype(np.float32)), jnp.asarray(Pw)))
         return np.asarray(project(jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
 
-    def _fuse_semantic(self, tid: int, det):
-        """Semantic meaning fusion: accumulate per-string recognition scores
-        over observations and keep the argmax (the S_mean voting of
-        src/tracking.cc:2343-2527; geometric weighting folds into the
-        observation gates that admit the detection at all)."""
+    def _s_geo(self, tid: int, kid: int) -> float:
+        """GetSgeo (src/tracking.cc:2484-2527): S_geo = (1 + cos)·w_view + d,
+        smaller is better — cos between the observing camera's optical axis
+        (world frame) and the unit world plane normal, plus the distance from
+        the camera center to the text box center."""
+        m = self.map
+        from ..geometry.quaternion import qto_matrix
+
+        Twc = np.asarray(se3.inverse(jnp.asarray(m.kf_pose[kid])))
+        o_cam = Twc[4:7]
+        z_cam = np.asarray(qto_matrix(jnp.asarray(Twc[:4])))[:, 2]
+        center_w = self._quad_world(tid).mean(0)
+        d = float(np.linalg.norm(center_w - o_cam))
+        host = int(m.tx_host[tid])
+        n_w = np.asarray(plane.plane_normal_world(
+            jnp.asarray(m.tx_theta[tid]), jnp.asarray(m.kf_pose[host])))
+        cos = float(z_cam @ n_w)
+        return (1.0 + cos) * self.cfg.text.sem_weight_view + d
+
+    def _fuse_semantic(self, tid: int, det, kid: int):
+        """Semantic meaning fusion (UpdateSemantic_MapObjs_single,
+        src/tracking.cc:2382-2420): every observation is scored
+        S_semantic = S_geo + S_mean with S_mean = (1 − recognition score) ·
+        w_mean; the object keeps the string of the argmin observation."""
         m = self.map
         string = (det.text or "").strip()
         if string in ("", "#"):
             return
-        votes = self._sem_votes.setdefault(tid, {})
-        votes[string] = votes.get(string, 0.0) + float(det.score)
-        best = max(votes.items(), key=lambda kv: kv[1])
-        m.tx_string[tid] = best[0]
-        m.tx_score[tid] = best[1]
-        m.tx_lang[tid] = det.lang
+        s_mean = (1.0 - float(det.score)) * self.cfg.text.sem_weight_mean
+        s_sem = self._s_geo(tid, kid) + s_mean
+        if s_sem < m.tx_sem_score[tid]:
+            m.tx_sem_score[tid] = s_sem
+            m.tx_string[tid] = string
+            m.tx_score[tid] = float(det.score)
+            m.tx_lang[tid] = det.lang
 
     def _update_immature(self):
         """ThetaOptimMultiFs + promotion (src/tracking.cc:1920-1962)."""
@@ -825,7 +848,8 @@ class TextFrontend:
                 fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
             )
             st = ba.solve_ba(prob, n_iters=scfg.iters_per_level,
-                             huber_text=scfg.huber_theta)
+                             huber_text=scfg.huber_theta,
+                             text_pair_feat=self.cfg.text.max_features_per_level)
             cur_theta = st.theta
             last_prob = prob._replace(theta=cur_theta)
         th = np.asarray(cur_theta[0])

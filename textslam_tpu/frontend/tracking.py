@@ -604,7 +604,8 @@ class Tracker:
                     text=tobs, images=jnp.asarray(imgs_p),
                 )
                 st = ba.solve_ba(cur, n_iters=scfg.iters_per_level,
-                                 huber_scene=huber, huber_text=scfg.huber_text)
+                                 huber_scene=huber, huber_text=scfg.huber_text,
+                                 text_pair_feat=self.cfg.text.max_features_per_level)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
                 theta = np.asarray(st.theta)
                 self._gate_text_features(cur, pairs, level)
@@ -642,7 +643,7 @@ class Tracker:
         n_pairs = len(pairs["tids"])
         if n_pairs == 0 or prob.text is None:
             return
-        err, ok = ba.text_sample_errors(prob)
+        err, ok = ba.text_sample_errors(prob, pair_feat=F)
         O_real = n_pairs * F
         err = np.asarray(err)[:O_real].reshape(n_pairs, F, 8)
         ok = np.asarray(ok)[:O_real].reshape(n_pairs, F, 8)

@@ -26,7 +26,7 @@ def save(path: str, slam_map: SlamMap, tracker=None, text_frontend=None, extra: 
     for name in ("pt_host", "pt_ray", "pt_rho", "pt_valid", "pt_bad", "pt_desc",
                  "pt_good_obs", "pt_bad_obs",
                  "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
-                 "tx_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
+                 "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
                  "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
                  "M1", "M2", "M3"):
         blobs[name] = getattr(m, name)
@@ -105,7 +105,7 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
     for name in ("pt_host", "pt_ray", "pt_rho", "pt_valid", "pt_bad", "pt_desc",
                  "pt_good_obs", "pt_bad_obs",
                  "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
-                 "tx_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
+                 "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
                  "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
                  "M1", "M2", "M3"):
         setattr(m, name, z[name].copy())

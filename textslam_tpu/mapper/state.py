@@ -86,6 +86,10 @@ class SlamMap:
         self.tx_quad = np.zeros((m.max_texts, 4, 2), np.float32)  # host-KF px
         self.tx_string: List[str] = ["" for _ in range(m.max_texts)]
         self.tx_score: np.ndarray = np.zeros(m.max_texts, np.float32)
+        # best (smallest) semantic score seen so far: S_semantic = S_geo +
+        # S_mean, argmin over observations (TextInfo.score_semantic,
+        # src/setting.h:98-104, src/tracking.cc:2382-2420)
+        self.tx_sem_score: np.ndarray = np.full(m.max_texts, np.inf, np.float32)
         self.tx_lang = np.zeros(m.max_texts, np.int8)
         self.tx_good_obs = np.zeros(m.max_texts, np.int32)
         self.tx_bad_obs = np.zeros(m.max_texts, np.int32)

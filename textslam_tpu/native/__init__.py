@@ -36,15 +36,16 @@ def _build() -> bool:
         return False
 
 
-if _build():
-    try:
-        sys.path.insert(0, _HERE)
-        import _native  # type: ignore
+if os.environ.get("TEXTSLAM_NO_NATIVE", "") not in ("1", "true"):
+    if _build():
+        try:
+            sys.path.insert(0, _HERE)
+            import _native  # type: ignore
 
-        sys.path.pop(0)
-    except Exception:
-        _native = None
-        sys.path.pop(0)
+            sys.path.pop(0)
+        except Exception:
+            _native = None
+            sys.path.pop(0)
 
 HAVE_NATIVE = _native is not None
 

@@ -2,11 +2,18 @@
 leaves throughput on the table (SURVEY.md §7.2 M7: FAST, irregular gathers,
 Hamming matcher, Levenshtein are the expected candidates).
 
-Currently: the tiled Hamming distance matrix. The dense [N1, N2] popcount
-reduction is the inner loop of every matcher call (SearchFrom3D, two-view
-init, triangulation search, loop-closing correspondence). The Pallas version
-tiles both descriptor sets through VMEM and keeps the XOR+popcount+reduce
-entirely on the VPU with explicit [128, 128] blocking.
+Kernels:
+- `hamming_matrix_pallas`: tiled [N1, N2] popcount-reduction — the inner loop
+  of every matcher call (SearchFrom3D, two-view init, triangulation search,
+  loop-closing correspondence).
+- `patch_sample_grouped`: photometric patch sampling for text residuals.
+  XLA lowers the per-feature 8x8 patch gather (vmap of dynamic_slice) to a
+  generic gather running at ~3 GB/s effective — 55% of every BA iteration.
+  Text observations arrive grouped by (object, target-KF) pair and all of a
+  pair's samples live inside one projected text box, so this kernel DMAs ONE
+  contiguous image region per pair into VMEM and evaluates all its bilinear
+  samples as two separable one-hot contractions on the MXU (row combine =
+  matmul, column combine = VPU reduce). No scattered gathers anywhere.
 """
 
 from __future__ import annotations
@@ -64,3 +71,192 @@ def hamming_matrix_pallas(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     )(d1t, d2t)
     return out[:N1, :N2]
+
+
+# ---------------------------------------------------------------------------
+# Grouped photometric patch sampling (text residual hot path)
+# ---------------------------------------------------------------------------
+
+def _patch_sample_kernel(RH: int, RW: int, C: int):
+    """Kernel factory (RH/RW/C are compile-time block constants).
+
+    The image stack arrives CHANNEL-PLANAR [K, C, H, W] so each channel's
+    region is a plain 2D [RH, RW] block (contiguous rows; Mosaic cannot
+    shape-cast 3D vectors and charges heavily for channel-interleaved
+    lanes). Per pair: C strided DMAs HBM->VMEM, one one-hot row-combine
+    matmul on the MXU per channel, and a column combine on the VPU.
+
+    Numeric note: the MXU runs single-pass bf16 (DEFAULT precision). The
+    row/column weights (1-d, d) round to 2^-9 and the region values to
+    2^-8 relative, so sampled intensities err by <= ~1 gray absolute
+    (~0.025 in normalized residual units against a 0.5 chi2 gate). HIGHEST
+    (6-pass) measured SLOWER than the XLA gather this kernel replaces; the
+    single pass is what buys the speedup, and end-to-end ATE on rendered
+    ground-truth sequences is verified unchanged (tests/test_e2e_text.py
+    pins the CPU path; bench_e2e.py checks the TPU path)."""
+
+    def kernel(meta_ref, uv_ref, imgs_ref, out_ref, region, sem):
+        g = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def copy(i, slot, c):
+            k = meta_ref[3 * i]
+            # origins are tile-aligned by construction (grouped_bilinear_stack)
+            oy = pl.multiple_of(meta_ref[3 * i + 1], 8)
+            ox = pl.multiple_of(meta_ref[3 * i + 2], 128)
+            return pltpu.make_async_copy(
+                imgs_ref.at[k, c, pl.ds(oy, RH), pl.ds(ox, RW)],
+                region.at[slot, c],
+                sem.at[slot, c],
+            )
+
+        # double-buffered region pipeline: fetch pair g+1 while sampling g
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g == 0)
+        def _():
+            for c in range(C):
+                copy(0, 0, c).start()
+
+        for c in range(C):
+            copy(g, slot, c).wait()
+
+        @pl.when(g + 1 < n)
+        def _():
+            for c in range(C):
+                copy(g + 1, 1 - slot, c).start()
+
+        ox = meta_ref[3 * g + 2].astype(jnp.float32)
+        oy = meta_ref[3 * g + 1].astype(jnp.float32)
+        Q = uv_ref.shape[2]
+        u = (uv_ref[0, 0, :] - ox).clip(0.0, RW - 1)
+        v = (uv_ref[0, 1, :] - oy).clip(0.0, RH - 1)
+        u0 = jnp.floor(u).astype(jnp.int32).clip(0, RW - 2)
+        v0 = jnp.floor(v).astype(jnp.int32).clip(0, RH - 2)
+        du = u - u0.astype(jnp.float32)
+        dv = v - v0.astype(jnp.float32)
+        rowsH = jax.lax.broadcasted_iota(jnp.int32, (Q, RH), 1)
+        wy = (
+            (rowsH == v0[:, None]).astype(jnp.float32) * (1.0 - dv[:, None])
+            + (rowsH == v0[:, None] + 1).astype(jnp.float32) * dv[:, None]
+        )
+        colsW = jax.lax.broadcasted_iota(jnp.int32, (Q, RW), 1)
+        wx = (
+            (colsW == u0[:, None]).astype(jnp.float32) * (1.0 - du[:, None])
+            + (colsW == u0[:, None] + 1).astype(jnp.float32) * du[:, None]
+        )
+        for c in range(C):
+            reg = jax.lax.cond(
+                slot == 0, lambda c=c: region[0, c], lambda c=c: region[1, c]
+            )
+            tmp = jax.lax.dot_general(
+                wy, reg,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Q, RW]
+            out_ref[0, c, :] = (tmp * wx).sum(axis=1)
+
+    return kernel
+
+
+def patch_sample_grouped(imgs_planar: jnp.ndarray, meta: jnp.ndarray,
+                         uv_t: jnp.ndarray, RH: int, RW: int) -> jnp.ndarray:
+    """Bilinear-sample grouped clusters of points from an image stack.
+
+    imgs_planar [K, C, H, W] float32 (HBM); meta [G, 3] int32 rows (image
+    index k, region origin oy, ox) with 0 <= oy <= H-RH, 0 <= ox <= W-RW;
+    uv_t [G, 2, Q] float32 ABSOLUTE pixel coords of group g's samples (all
+    inside its region — out-of-region samples clamp to the region edge and
+    must be masked by the caller). Returns vals [G, C, Q].
+    """
+    G = meta.shape[0]
+    Q = uv_t.shape[2]
+    C = imgs_planar.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 2, Q), lambda g, meta: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, C, Q), lambda g, meta: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, C)),
+        ],
+    )
+    return pl.pallas_call(
+        _patch_sample_kernel(RH, RW, C),
+        out_shape=jax.ShapeDtypeStruct((G, C, Q), jnp.float32),
+        grid_spec=grid_spec,
+    )(meta.reshape(-1), uv_t, imgs_planar)
+
+
+def grouped_bilinear_stack(imgs: jnp.ndarray, group_k: jnp.ndarray,
+                           uv: jnp.ndarray, region_h: int = 160,
+                           region_w: int = 384):
+    """Drop-in grouped replacement for per-feature patch gathers.
+
+    imgs [K, H, W, C]; group_k [G] image index per group; uv [G, Q, 2]
+    sample positions (level px). Each group's samples must cluster inside a
+    region_h x region_w window (one projected text box) — samples outside
+    the window or the image return 0 with mask False, matching the padded /
+    broken-row semantics of ops.interp.
+
+    Mosaic only DMAs tile-aligned slices of tiled HBM memrefs, so region
+    origins snap DOWN to (8-row, 128-px) boundaries; the window is sized so
+    an aligned origin still covers a box of (region_h - 8) x
+    (region_w - 128) px. Levels whose image is smaller than the window use
+    the full image extent (origin 0 — trivially aligned).
+
+    Returns (vals [G, Q, C], mask [G, Q]).
+    """
+    K, H, W, C = imgs.shape
+    G, Q, _ = uv.shape
+    ALIGN_X = 128
+    # every DMA extent must also be tile-aligned: pad the stack itself to
+    # (8-row, 128-lane) multiples (zeros — only ever read by samples that
+    # the in-image mask already kills)
+    H8 = -(-H // 8) * 8
+    W128 = -(-W // ALIGN_X) * ALIGN_X
+    full_h = H8 <= region_h
+    full_w = W128 <= region_w
+    RH = H8 if full_h else region_h
+    RW = W128 if full_w else region_w
+
+    uv = jnp.nan_to_num(uv, nan=-1e6, posinf=1e6, neginf=-1e6)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    big = jnp.float32(1e9)
+    if full_w:
+        ox = jnp.zeros((G,), jnp.int32)
+    else:
+        min_u = jnp.where(in_img, u, big).min(axis=1)
+        ox = (jnp.floor(jnp.where(min_u < big, min_u, 0.0)).astype(jnp.int32)
+              // ALIGN_X * ALIGN_X)
+        ox = ox.clip(0, W128 - RW)
+    if full_h:
+        oy = jnp.zeros((G,), jnp.int32)
+    else:
+        min_v = jnp.where(in_img, v, big).min(axis=1)
+        oy = jnp.floor(jnp.where(min_v < big, min_v, 0.0)).astype(jnp.int32) // 8 * 8
+        oy = oy.clip(0, H8 - RH)
+    in_region = (
+        (u >= ox[:, None]) & (u <= ox[:, None] + (RW - 1))
+        & (v >= oy[:, None]) & (v <= oy[:, None] + (RH - 1))
+    )
+    mask = in_img & in_region
+    meta = jnp.stack([group_k.astype(jnp.int32), oy, ox], axis=-1)
+    # channel-planar for 2D per-channel regions; on the constant image
+    # stack inside an LM scan XLA hoists this transpose out of the loop
+    imgs_p = imgs.transpose(0, 3, 1, 2)
+    if H8 != H or W128 != W:
+        imgs_p = jnp.pad(imgs_p, ((0, 0), (0, 0), (0, H8 - H), (0, W128 - W)))
+    vals = patch_sample_grouped(
+        imgs_p, meta, uv.transpose(0, 2, 1), RH, RW
+    )  # [G, C, Q]
+    vals = vals.transpose(0, 2, 1)
+    return jnp.where(mask[..., None], vals, 0.0), mask

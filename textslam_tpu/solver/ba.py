@@ -42,6 +42,37 @@ import jax.numpy as jnp
 from ..geometry import se3
 from ..geometry.camera import project
 from ..ops.interp import bilinear_stack, patch_bilinear_stack
+from ..ops import pallas_kernels
+
+
+def _sample_text_values(images, tgt, uv, pair_feat: int):
+    """Sample (I, sobel_x, sobel_y) at the text pattern positions uv [O, S, 2].
+
+    pair_feat > 0 declares that rows arrive grouped in [pair, pair_feat]
+    order (one group per (text object, target KF) pair — the layout
+    build_text_obs produces), which lets the TPU path use the Pallas region
+    kernel (ops.pallas_kernels.grouped_bilinear_stack): one contiguous DMA +
+    two MXU contractions per group instead of O scattered patch gathers (the
+    gather is ~55% of a BA iteration under XLA's lowering). Masks differ only
+    where the grouped region fails to cover a sample that a per-feature patch
+    would (boxes wider than the region window) — such samples drop, exactly
+    like out-of-image samples."""
+    O, S = uv.shape[0], uv.shape[1]
+    use_grouped = (
+        pair_feat > 0
+        and O % pair_feat == 0
+        and pallas_kernels.HAVE_PALLAS
+        and jax.default_backend() == "tpu"
+    )
+    if use_grouped:
+        G = O // pair_feat
+        vals, mask = pallas_kernels.grouped_bilinear_stack(
+            images,
+            tgt.reshape(G, pair_feat)[:, 0],
+            uv.reshape(G, pair_feat * S, 2),
+        )
+        return vals.reshape(O, S, -1), mask.reshape(O, S)
+    return patch_bilinear_stack(images, tgt, uv[:, 0], uv)
 
 
 def inv3x3_spd(A: jnp.ndarray) -> jnp.ndarray:
@@ -289,7 +320,7 @@ def _text_level_K(problem: BAProblem, level: int):
     return problem.fx / sc, problem.fy / sc, problem.cx / sc, problem.cy / sc
 
 
-def text_terms(problem: BAProblem, huber: float):
+def text_terms(problem: BAProblem, huber: float, pair_feat: int = 0):
     """Residuals + analytic tangent Jacobians for text observations at one
     pyramid level.
 
@@ -320,10 +351,9 @@ def text_terms(problem: BAProblem, huber: float):
     p_h = t.rays / rho[..., None]
     p_c = se3.apply(A[:, None, :], p_h)  # [O, 8, 3]
     uv = project(p_c, fxl, fyl, cxl, cyl)
-    # clustered patch sampling: the INTERVAL8 pattern's first sample is its
-    # center (offset (0,0)); one 8x8 patch gather per feature replaces 32
-    # scattered corner gathers
-    vals, mask = patch_bilinear_stack(problem.images, t.tgt, uv[:, 0], uv)
+    # clustered sampling: grouped Pallas region kernel on TPU, per-feature
+    # 8x8 patch gathers elsewhere (see _sample_text_values)
+    vals, mask = _sample_text_values(problem.images, t.tgt, uv, pair_feat)
     I = vals[..., 0]
     g = vals[..., 1:3] / 8.0  # sobel -> dI/dpx
     mu = t.mu_sigma[:, 0:1]
@@ -515,7 +545,7 @@ def scene_cost(problem: BAProblem, huber: float) -> jnp.ndarray:
     return jnp.where(ok, cost, jnp.where(s.valid, BROKEN_PENALTY, 0.0)).sum()
 
 
-def text_cost(problem: BAProblem, huber: float) -> jnp.ndarray:
+def text_cost(problem: BAProblem, huber: float, pair_feat: int = 0) -> jnp.ndarray:
     t = problem.text
     poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
     tgt_pose = poses_ext[t.tgt]
@@ -529,7 +559,7 @@ def text_cost(problem: BAProblem, huber: float) -> jnp.ndarray:
     p_h = t.rays / rho[..., None]
     p_c = se3.apply(A[:, None, :], p_h)
     uv = project(p_c, fxl, fyl, cxl, cyl)
-    vals, mask = patch_bilinear_stack(problem.images, t.tgt, uv[:, 0], uv)
+    vals, mask = _sample_text_values(problem.images, t.tgt, uv, pair_feat)
     I = vals[..., 0]
     r = (I - t.mu_sigma[:, 0:1]) / t.mu_sigma[:, 1:2] - t.ref_inten
     sample_ok = mask & (p_c[..., 2] > 1e-4) & (rho > 1e-6)
@@ -552,7 +582,8 @@ def _total_cost(problem: BAProblem, hubers) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "huber_scene", "huber_text", "lam0", "lam_up", "lam_down"),
+    static_argnames=("n_iters", "huber_scene", "huber_text", "lam0", "lam_up",
+                     "lam_down", "text_pair_feat"),
 )
 def solve_ba(
     problem: BAProblem,
@@ -562,6 +593,7 @@ def solve_ba(
     lam0: float = 1e-4,
     lam_up: float = 10.0,
     lam_down: float = 0.1,
+    text_pair_feat: int = 0,
 ):
     """Damped LM loop (fixed iteration count, accept/reject inside).
 
@@ -591,7 +623,7 @@ def solve_ba(
             )
             cost += ts["cost"].sum()
         if problem.text is not None:
-            tt = text_terms(problem, huber_text)
+            tt = text_terms(problem, huber_text, text_pair_feat)
             H2, b2 = assemble_camera_system(tt, problem.text.tgt, problem.text.host, K)
             Wt, Ht, bt = assemble_landmark_system(
                 tt, problem.text.tgt, problem.text.host, problem.text.text, T, K, 3
@@ -705,14 +737,14 @@ def scene_chi2(problem: BAProblem, huber: float):
     return ts["chi2"], ts["w"] > 0
 
 
-@functools.partial(jax.jit, static_argnames=("huber",))
-def text_chi2(problem: BAProblem, huber: float):
-    tt = text_terms(problem, huber)
+@functools.partial(jax.jit, static_argnames=("huber", "pair_feat"))
+def text_chi2(problem: BAProblem, huber: float, pair_feat: int = 0):
+    tt = text_terms(problem, huber, pair_feat)
     return tt["chi2"], tt["w"] > 0
 
 
-@jax.jit
-def text_sample_errors(problem: BAProblem):
+@functools.partial(jax.jit, static_argnames=("pair_feat",))
+def text_sample_errors(problem: BAProblem, pair_feat: int = 0):
     """Per-sample |(I - mu)/sigma - ref| and validity for the text batch.
 
     The post-solve per-feature gate (src/optimizer.cc:1259-1303) compares
@@ -729,7 +761,7 @@ def text_sample_errors(problem: BAProblem):
     p_h = t.rays / rho[..., None]
     p_c = se3.apply(A[:, None, :], p_h)
     uv = project(p_c, fxl, fyl, cxl, cyl)
-    vals, mask = patch_bilinear_stack(problem.images, t.tgt, uv[:, 0], uv)
+    vals, mask = _sample_text_values(problem.images, t.tgt, uv, pair_feat)
     I = vals[..., 0]
     r = (I - t.mu_sigma[:, 0:1]) / t.mu_sigma[:, 1:2] - t.ref_inten
     sample_ok = mask & (p_c[..., 2] > 1e-4) & (rho > 1e-6) & t.valid[:, None]
