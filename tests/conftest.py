@@ -23,3 +23,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    Works around an XLA:CPU crash where one process accumulating many large
+    compiled programs (the e2e loop module followed by the e2e text module)
+    segfaults inside a later backend_compile. Each module still shares its
+    own compilations; cross-module recompiles are the price of stability.
+    """
+    yield
+    jax.clear_caches()

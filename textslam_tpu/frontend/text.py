@@ -186,6 +186,169 @@ def _theta_ransac_kernel(key, rays, rhos, valid):
     return theta, inliers, ok
 
 
+@functools.partial(
+    jax.jit, static_argnames=("levels", "n_iters", "huber_scene", "huber_text",
+                              "weight_text"))
+def fused_pose_refine(pose0, scene, rho, theta, host_poses, quads0,
+                      feat_uv, feat_ref, feat_valid, obj_valid,
+                      imgs_levels, fx, fy, cx, cy,
+                      levels: tuple, n_iters: int,
+                      huber_scene: float, huber_text: float,
+                      weight_text: float):
+    """Joint scene+text pose refinement, ALL pyramid levels in one program.
+
+    The per-frame coarse-to-fine loop (PyrPoseOptim, src/optimizer.cc:
+    1060-1327) previously ran as ~4 host round-trips per level (project
+    quads, box stats, batch build, solve); under a tunneled TPU each
+    dispatch costs more than the math. Here the whole schedule is unrolled
+    inside one jit: per level — project the text quads through the planes at
+    the CURRENT pose, recompute the target-frame (mu, sigma) box statistics
+    (reference recomputes them at every problem build, src/optimizer.cc:
+    1179-1184), assemble the photometric batch, and run the LM solve; the
+    refined pose feeds the next level.
+
+    pose0 [7]; scene: SceneObs (pose slot 0, hosts frozen); rho [P]; theta
+    [T, 3] + host_poses [T, 7] + quads0 [T, 4, 2] (host level-0 px);
+    feat_uv/[T, L, F, 2] feat_ref [T, L, F, 8] feat_valid [T, L, F] from the
+    per-level reference-feature pools; obj_valid [T]; imgs_levels: tuple of
+    [H_l, W_l, 3] level images of the CURRENT frame, index-aligned with
+    `levels`. Returns the refined pose [7].
+    """
+    from ..ops import rasterize
+
+    T, Lp, F, _ = feat_uv.shape
+    i8 = jnp.asarray(INTERVAL8)
+    pose = pose0
+    Pt = rho.shape[0]
+    scene = scene._replace(point=scene.point.clip(0, Pt - 1))
+
+    for i, level in enumerate(levels):
+        img = imgs_levels[i]
+        s = 2.0 ** level
+        fxl, fyl, cxl, cyl = fx / s, fy / s, cx / s, cy / s
+
+        # project quads through the planes at the current pose estimate
+        qrays = unproject(quads0, fx, fy, cx, cy)
+        T_cr = se3.relative(pose[None, :], host_poses)  # [T, 7]
+        p_cq = plane.project_to_target(qrays, theta[:, None, :], T_cr[:, None, :])
+        quad_t = project(p_cq, fxl, fyl, cxl, cyl)
+        mu, sigma, _ = jax.vmap(
+            lambda q: rasterize.quad_stats(img[..., 0], q)
+        )(quad_t)  # [T]
+
+        pos = feat_uv[:, level][:, :, None, :] + i8[None, None, :, :]  # [T,F,8,2]
+        rays = unproject(pos, fxl, fyl, cxl, cyl)
+        O = T * F
+        tobs = ba.TextObs(
+            tgt=jnp.zeros(O, jnp.int32),
+            host=jnp.full(O, 1, jnp.int32),  # dump slot (frozen hosts)
+            host_frozen_pose=jnp.repeat(host_poses, F, axis=0),
+            host_in_window=jnp.zeros(O, bool),
+            text=jnp.repeat(jnp.arange(T, dtype=jnp.int32), F),
+            rays=rays.reshape(O, 8, 3),
+            ref_inten=feat_ref[:, level].reshape(O, 8),
+            mu_sigma=jnp.stack(
+                [jnp.repeat(mu, F), jnp.repeat(sigma, F)], axis=-1),
+            weight=jnp.full(O, weight_text, jnp.float32),
+            valid=(feat_valid[:, level] & obj_valid[:, None]).reshape(O),
+            level=level,
+        )
+        prob = ba.BAProblem(
+            poses=pose[None],
+            pose_free=jnp.ones(1, bool),
+            rho=rho, rho_free=jnp.zeros(Pt, bool),
+            theta=theta, theta_free=jnp.zeros(T, bool),
+            scene=scene, text=tobs, images=img[None],
+            fx=fx, fy=fy, cx=cx, cy=cy,
+        )
+        st = ba.solve_ba(prob, n_iters=n_iters, huber_scene=huber_scene,
+                         huber_text=huber_text, text_pair_feat=F)
+        pose = st.poses[0]
+    return pose
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "n_iters", "huber_theta", "weight_text"))
+def fused_theta_optimize(theta0, poses, tgt_valid, host_pose, quad0,
+                         feat_uv, feat_ref, feat_valid_per_kf,
+                         imgs_levels, fx, fy, cx, cy,
+                         levels: tuple, n_iters: int,
+                         huber_theta: float, weight_text: float):
+    """theta-only multi-view refinement, all pyramid levels in one program
+    (PyrThetaOptim, src/optimizer.cc:2170-2242 — the reference solves one
+    Ceres problem per level; here the coarse-to-fine schedule unrolls inside
+    a single jit, removing ~8 host round-trips per text object).
+
+    theta0 [3]; poses [K, 7] frozen target KF poses with validity tgt_valid
+    [K]; host_pose [7]; quad0 [4, 2] host level-0 px; feat_uv [L, F, 2] /
+    feat_ref [L, F, 8] host reference features; feat_valid_per_kf [K, L, F]
+    (per-(KF, feature) good flags, vObvGoodTextFeats semantics);
+    imgs_levels: tuple of [K, H_l, W_l, 3] target level images aligned with
+    `levels`. Returns (theta [3], H [3, 3] GN information at the solution).
+    """
+    from ..ops import rasterize
+
+    K = poses.shape[0]
+    F = feat_uv.shape[1]
+    i8 = jnp.asarray(INTERVAL8)
+    theta = theta0[None]  # [1, 3] landmark pool of one
+    O = K * F
+    last_prob = None
+
+    for i, level in enumerate(levels):
+        imgs = imgs_levels[i]  # [K, H_l, W_l, 3]
+        s = 2.0 ** level
+        fxl, fyl, cxl, cyl = fx / s, fy / s, cx / s, cy / s
+
+        qrays = unproject(quad0, fx, fy, cx, cy)  # [4, 3]
+        T_cr = se3.relative(poses, host_pose[None, :])  # [K, 7]
+        p_cq = plane.project_to_target(
+            qrays[None, :, :], theta[0][None, None, :], T_cr[:, None, :])
+        quad_t = project(p_cq, fxl, fyl, cxl, cyl)  # [K, 4, 2]
+        mu, sigma, _ = jax.vmap(
+            lambda im, q: rasterize.quad_stats(im[..., 0], q)
+        )(imgs, quad_t)  # [K]
+
+        pos = feat_uv[level][:, None, :] + i8[None, :, :]  # [F, 8, 2]
+        rays = unproject(pos, fxl, fyl, cxl, cyl)
+        tobs = ba.TextObs(
+            tgt=jnp.repeat(jnp.arange(K, dtype=jnp.int32), F),
+            host=jnp.full(O, K, jnp.int32),  # dump slot (frozen host)
+            host_frozen_pose=jnp.broadcast_to(host_pose, (O, 7)),
+            host_in_window=jnp.zeros(O, bool),
+            text=jnp.zeros(O, jnp.int32),
+            rays=jnp.broadcast_to(rays[None], (K, F, 8, 3)).reshape(O, 8, 3),
+            ref_inten=jnp.broadcast_to(
+                feat_ref[level][None], (K, F, 8)).reshape(O, 8),
+            mu_sigma=jnp.stack(
+                [jnp.repeat(mu, F), jnp.repeat(sigma, F)], axis=-1),
+            weight=jnp.full(O, weight_text, jnp.float32),
+            valid=(feat_valid_per_kf[:, level] & tgt_valid[:, None]).reshape(O),
+            level=level,
+        )
+        prob = ba.BAProblem(
+            poses=poses,
+            pose_free=jnp.zeros(K, bool),
+            rho=jnp.zeros(16), rho_free=jnp.zeros(16, bool),
+            theta=theta, theta_free=jnp.ones(1, bool),
+            scene=None, text=tobs, images=imgs,
+            fx=fx, fy=fy, cx=cx, cy=cy,
+        )
+        st = ba.solve_ba(prob, n_iters=n_iters, huber_text=huber_theta,
+                         text_pair_feat=F)
+        theta = st.theta
+        last_prob = prob._replace(theta=theta)
+
+    # theta covariance: GN information at the solution (the reference stores
+    # Ceres' covariance on the mapText, src/optimizer.cc:2219-2238)
+    tt = ba.text_terms(last_prob, huber_theta,
+                       pair_feat=F)
+    Jl = tt["J_l"]  # [O, 8, 3]
+    w = tt["w"][:, None, None]
+    H = jnp.einsum("ori,orj->ij", Jl * w, Jl)
+    return theta[0], H
+
+
 class TextFrontend:
     def __init__(self, cfg: TextSLAMConfig, slam_map: SlamMap, tracker):
         self.cfg = cfg
@@ -681,46 +844,40 @@ class TextFrontend:
         Pt = ptier(max(m.n_points, 1), 256)
         rho = jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt))
 
-        tid_to_lm = {t: i for i, t in enumerate(vis)}
+        vis_np = np.asarray(vis, np.int64)
         T = pad_tier(len(vis), 8)
         theta = np.zeros((T, 3), np.float32)
-        theta[: len(vis)] = m.tx_theta[vis]
-
-        cur = pose.astype(np.float32)
-        for level in self.levels:
-            h, w = frame.pyr_shapes[level]
-            img = frame.pyr_data[level, : int(h), : int(w), :3]
-            pairs_t = list(vis)
-            tobs = self.build_text_obs(
-                tids=pairs_t,
-                target_slots=[0] * len(pairs_t),
-                host_slots=[1] * len(pairs_t),
-                host_in_window=[False] * len(pairs_t),
-                host_poses=[m.kf_pose[int(m.tx_host[t])] for t in pairs_t],
-                target_poses=[cur] * len(pairs_t),
-                target_pyrs=np.asarray(img)[None],
-                target_shapes=[(int(h), int(w))] * len(pairs_t),
-                level=level,
-                tid_to_lm=tid_to_lm,
-            )
-            prob = ba.BAProblem(
-                poses=jnp.asarray(cur)[None],
-                pose_free=jnp.ones(1, dtype=bool),
-                rho=rho,
-                rho_free=jnp.zeros(Pt, dtype=bool),
-                theta=jnp.asarray(theta),
-                theta_free=jnp.zeros(T, dtype=bool),
-                scene=scene._replace(point=scene.point.clip(0, Pt - 1)),
-                text=tobs,
-                images=jnp.asarray(img)[None],
-                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-            )
-            st = ba.solve_ba(prob, n_iters=scfg.iters_per_level,
-                             huber_scene=scfg.huber_scene_pose,
-                             huber_text=scfg.huber_text,
-                             text_pair_feat=self.cfg.text.max_features_per_level)
-            cur = np.asarray(st.poses[0])
-        return cur
+        theta[: len(vis)] = m.tx_theta[vis_np]
+        host_poses = np.zeros((T, 7), np.float32)
+        host_poses[:, 0] = 1.0
+        host_poses[: len(vis)] = m.kf_pose[m.tx_host[vis_np]]
+        quads0 = np.zeros((T, 4, 2), np.float32)
+        quads0[: len(vis)] = m.tx_quad[vis_np]
+        feat_uv = np.zeros((T,) + m.tx_feat_uv.shape[1:], np.float32)
+        feat_uv[: len(vis)] = m.tx_feat_uv[vis_np]
+        feat_ref = np.zeros((T,) + m.tx_feat_ref.shape[1:], np.float32)
+        feat_ref[: len(vis)] = m.tx_feat_ref[vis_np]
+        feat_valid = np.zeros((T,) + m.tx_feat_valid.shape[1:], bool)
+        feat_valid[: len(vis)] = m.tx_feat_valid[vis_np]
+        obj_valid = np.zeros(T, bool)
+        obj_valid[: len(vis)] = True
+        imgs_levels = tuple(
+            jnp.asarray(frame.pyr_data[l, : int(frame.pyr_shapes[l][0]),
+                                       : int(frame.pyr_shapes[l][1]), :3])
+            for l in self.levels
+        )
+        out = fused_pose_refine(
+            jnp.asarray(pose.astype(np.float32)),
+            scene, rho,
+            jnp.asarray(theta), jnp.asarray(host_poses), jnp.asarray(quads0),
+            jnp.asarray(feat_uv), jnp.asarray(feat_ref), jnp.asarray(feat_valid),
+            jnp.asarray(obj_valid),
+            imgs_levels, cam.fx, cam.fy, cam.cx, cam.cy,
+            levels=tuple(self.levels), n_iters=scfg.iters_per_level,
+            huber_scene=scfg.huber_scene_pose, huber_text=scfg.huber_text,
+            weight_text=scfg.weight_text,
+        )
+        return np.asarray(out)
 
     def on_keyframe(self, frame, kid: int):
         m = self.map
@@ -811,58 +968,47 @@ class TextFrontend:
         if not targets:
             return m.tx_theta[tid], False
         K = pad_tier(len(targets), 4)
-        theta = np.zeros((1, 3), np.float32)
-        theta[0] = m.tx_theta[tid]
-        cur_theta = jnp.asarray(theta)
-        for level in self.cfg.pyramid.theta_levels:
-            s = 2**level
+        poses = np.zeros((K, 7), np.float32)
+        poses[:, 0] = 1.0
+        poses[: len(targets)] = m.kf_pose[targets]
+        tgt_valid = np.zeros(K, bool)
+        tgt_valid[: len(targets)] = True
+        L = self.n_levels
+        F = self.cfg.text.max_features_per_level
+        fvk = np.zeros((K, L, F), bool)
+        for i, k in enumerate(targets):
+            fv = m.tx_feat_valid[tid].copy()
+            fg = m.tx_feat_good.get((k, tid))
+            if fg is not None:
+                fv &= fg
+            fvk[i] = fv
+        levels = tuple(self.cfg.pyramid.theta_levels)
+        imgs_levels = []
+        for level in levels:
             shp = m.keyframes[targets[0]].pyr_shapes[level]
             h, w = int(shp[0]), int(shp[1])
             imgs = np.zeros((K, h, w, 3), np.float32)
             for i, k in enumerate(targets):
                 imgs[i] = m.keyframes[k].pyr_data[level, :h, :w, :3]
-            m.tx_theta[tid] = np.asarray(cur_theta[0])
-            tobs = self.build_text_obs(
-                tids=[tid] * len(targets),
-                target_slots=list(range(len(targets))),
-                host_slots=[K] * len(targets),
-                host_in_window=[False] * len(targets),
-                host_poses=[m.kf_pose[host_kid]] * len(targets),
-                target_poses=[m.kf_pose[k] for k in targets],
-                target_pyrs=imgs,
-                target_shapes=[(h, w)] * len(targets),
-                level=level,
-                tid_to_lm={tid: 0},
-                target_kids=targets,  # per-KF feature flags (optimizer.cc:2103)
-            )
-            poses = np.zeros((K, 7), np.float32)
-            poses[:, 0] = 1.0
-            poses[: len(targets)] = m.kf_pose[targets]
-            prob = ba.BAProblem(
-                poses=jnp.asarray(poses),
-                pose_free=jnp.zeros(K, dtype=bool),
-                rho=jnp.zeros(16), rho_free=jnp.zeros(16, dtype=bool),
-                theta=cur_theta,
-                theta_free=jnp.ones(1, dtype=bool),
-                scene=None, text=tobs, images=jnp.asarray(imgs),
-                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-            )
-            st = ba.solve_ba(prob, n_iters=scfg.iters_per_level,
-                             huber_text=scfg.huber_theta,
-                             text_pair_feat=self.cfg.text.max_features_per_level)
-            cur_theta = st.theta
-            last_prob = prob._replace(theta=cur_theta)
-        th = np.asarray(cur_theta[0])
+            imgs_levels.append(jnp.asarray(imgs))
+        th_j, H_j = fused_theta_optimize(
+            jnp.asarray(m.tx_theta[tid]),
+            jnp.asarray(poses), jnp.asarray(tgt_valid),
+            jnp.asarray(m.kf_pose[host_kid]), jnp.asarray(m.tx_quad[tid]),
+            jnp.asarray(m.tx_feat_uv[tid]), jnp.asarray(m.tx_feat_ref[tid]),
+            jnp.asarray(fvk), tuple(imgs_levels),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            levels=levels, n_iters=scfg.iters_per_level,
+            huber_theta=scfg.huber_theta, weight_text=scfg.weight_text,
+        )
+        th = np.asarray(th_j)
         ok = bool(np.isfinite(th).all()) and np.linalg.norm(th) > 1e-6
         if ok:
             # theta covariance = inverse GN information at the solution
             # (reference: Ceres Covariance stored on the mapText,
             # src/optimizer.cc:2219-2238)
-            tt = ba.text_terms(last_prob, scfg.huber_theta)
-            Jl = np.asarray(tt["J_l"])  # [O, 8, 3]
-            w = np.asarray(tt["w"])[:, None, None]
-            H = np.einsum("ori,orj->ij", Jl * w, Jl)
-            if np.linalg.det(H) > 1e-12:
+            H = np.asarray(H_j)
+            if np.isfinite(H).all() and np.linalg.det(H) > 1e-12:
                 m.tx_cov[tid] = np.linalg.inv(H)
         return th, ok
 

@@ -117,6 +117,27 @@ def _match_triangulate(
     return idx, good, P_w, z1
 
 
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "n_iters", "huber", "chi2_gate"))
+def fused_pose_optimize(prob: ba.BAProblem, base_valid, weight_scene,
+                        rounds: int, n_iters: int, huber: float,
+                        chi2_gate: float):
+    """PoseOptim with its chi2 gating rounds in ONE program
+    (src/optimizer.cc:1060-1327: solve, evaluate, re-flag outliers, solve
+    again). Each round re-gates against the ORIGINAL validity so residuals
+    flagged out by a bad intermediate pose can re-enter. Returns
+    (pose [7], inlier [O])."""
+    inlier = base_valid
+    for _ in range(rounds):
+        st = ba.solve_ba(prob, n_iters=n_iters, huber_scene=huber)
+        prob = prob._replace(poses=st.poses)
+        chi2, _ = ba.scene_chi2(prob, huber)
+        chi2_px = chi2 / (weight_scene ** 2)
+        inlier = base_valid & (chi2_px < chi2_gate)
+        prob = prob._replace(scene=prob.scene._replace(valid=inlier))
+    return prob.poses[0], inlier
+
+
 class Tracker:
     """Synchronous frontend mirroring tracking::Track (src/tracking.cc:104)."""
 
@@ -315,10 +336,17 @@ class Tracker:
                 se3.compose(jnp.asarray(self.last_pose), se3.inverse(jnp.asarray(self.prev_pose)))
             )
 
-        # keyframe policy (src/tracking.cc:873-898)
+        # keyframe policy (CheckNewKeyFrame, src/tracking.cc:873-898):
+        # c1 = frame gap >= fps/2; c2 = current matches dropped below 90% of
+        # the nearest KF's well-observed point count (TrackedMapPoints with
+        # minObs 3, or 2 while the map has <= 2 KFs) while still > 15
         gap = frame.frame_id - self.last_kf_frame_id
         c1 = gap >= self.cfg.kf_min_gap
-        c2 = (n_good < 0.9 * self.n_tracked_last_kf) and n_good > 15
+        n_kfs = len(m.keyframes)
+        min_obs = 2 if n_kfs <= 2 else 3
+        neigh = m.nearest_kfs(frame.frame_id, 1)
+        n_ref = m.tracked_map_points(neigh[0], min_obs) if neigh else self.n_tracked_last_kf
+        c2 = (n_good < 0.9 * n_ref) and n_good > 15
         if c1 or c2:
             self._insert_keyframe(frame, good_pids, good_kps)
         return True
@@ -384,16 +412,13 @@ class Tracker:
         )
         # clip scene.point to padded rho pool
         prob = prob._replace(scene=scene._replace(point=scene.point.clip(0, Pt - 1)))
-        inlier = obs_valid.copy()
-        for _ in range(rounds):
-            st = ba.solve_ba(prob, n_iters=self.cfg.solver.iters_per_level,
-                             huber_scene=scfg.huber_scene_pose)
-            prob = prob._replace(poses=st.poses)
-            chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
-            chi2_px = np.asarray(chi2) / (scfg.weight_scene**2)
-            inlier = obs_valid & (chi2_px < scfg.chi2_mono_pose)
-            prob = prob._replace(scene=prob.scene._replace(valid=jnp.asarray(inlier)))
-        pose = np.asarray(st.poses[0])
+        pose_j, inlier_j = fused_pose_optimize(
+            prob, jnp.asarray(obs_valid), scfg.weight_scene,
+            rounds=rounds, n_iters=self.cfg.solver.iters_per_level,
+            huber=scfg.huber_scene_pose, chi2_gate=scfg.chi2_mono_pose,
+        )
+        pose = np.asarray(pose_j)
+        inlier = np.asarray(inlier_j)
         return pose, inlier[: len(pids)]
 
     # ------------------------------------------------------------------

@@ -75,6 +75,9 @@ class SlamMap:
         self.pt_desc = np.zeros((m.max_points, 8), np.uint32)
         self.pt_good_obs = np.zeros(m.max_points, np.int32)
         self.pt_bad_obs = np.zeros(m.max_points, np.int32)
+        # number of keyframes observing each point (mapPts::GetObvNum —
+        # feeds keyframe::TrackedMapPoints(minObs), src/keyframe.cc)
+        self.pt_n_obs = np.zeros(m.max_points, np.int32)
         self.n_points = 0
 
         # text objects (theta lives here; host KF indexed; src/mapText.h)
@@ -161,6 +164,16 @@ class SlamMap:
         kf = self.keyframes[kid]
         kf.kp_point[kp_idx] = pid
         kf.obs_good[kp_idx] = True
+        self.pt_n_obs[pid] += 1
+
+    def tracked_map_points(self, kid: int, min_obs: int) -> int:
+        """Count of this KF's good observations whose point is seen by at
+        least `min_obs` keyframes (keyframe::TrackedMapPoints, feeds the
+        KF-policy c2 condition, src/tracking.cc:879-884)."""
+        kf = self.keyframes[kid]
+        pids = kf.kp_point[(kf.kp_point >= 0) & kf.obs_good]
+        pids = pids[~self.pt_bad[pids]]
+        return int((self.pt_n_obs[pids] >= min_obs).sum())
 
     def point_world(self, pids: np.ndarray) -> np.ndarray:
         """xyz world positions (GetxyzPos: Twr·(ray/rho), src/mapPts.cc:126-134)."""
@@ -189,6 +202,7 @@ class SlamMap:
                     kf.kp_point[sel] = new_pid
         self.pt_valid[old_pid] = False
         self.pt_bad[old_pid] = True
+        self.pt_n_obs[old_pid] = 0
         if rebuild:
             self.rebuild_covis_m1()
 
@@ -283,6 +297,9 @@ class SlamMap:
 
         inc = self._point_incidence()
         self.M1[:K, :K] = native.covis_product(inc)
+        # refresh per-point observing-KF counts (fusion rewires observations)
+        n = min(self.n_points, inc.shape[1])
+        self.pt_n_obs[:n] = inc[:, :n].sum(0)
 
     def rebuild_covis_m23(self):
         K = len(self.keyframes)

@@ -77,7 +77,13 @@ def hamming_matrix_pallas(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
 # Grouped photometric patch sampling (text residual hot path)
 # ---------------------------------------------------------------------------
 
-def _patch_sample_kernel(RH: int, RW: int, C: int):
+# pairs of (text object, target KF) processed per grid step. Measured on
+# v5e: PP=2 buys nothing over PP=1 (2.54 vs 2.47 ms for 320 pairs) — the
+# kernel is VPU/DMA-bound per pair, not grid-overhead-bound.
+PAIRS_PER_STEP = 1
+
+
+def _patch_sample_kernel(RH: int, RW: int, C: int, PP: int):
     """Kernel factory (RH/RW/C are compile-time block constants).
 
     The image stack arrives CHANNEL-PLANAR [K, C, H, W] so each channel's
@@ -96,7 +102,7 @@ def _patch_sample_kernel(RH: int, RW: int, C: int):
     pins the CPU path; bench_e2e.py checks the TPU path)."""
 
     def kernel(meta_ref, uv_ref, imgs_ref, out_ref, region, sem):
-        g = pl.program_id(0)
+        s = pl.program_id(0)
         n = pl.num_programs(0)
 
         def copy(i, slot, c):
@@ -110,51 +116,57 @@ def _patch_sample_kernel(RH: int, RW: int, C: int):
                 sem.at[slot, c],
             )
 
-        # double-buffered region pipeline: fetch pair g+1 while sampling g
-        slot = jax.lax.rem(g, 2)
+        # double-buffered region pipeline over PP pairs per grid step: while
+        # step s samples its PP regions, the DMAs for step s+1 land in the
+        # other buffer half (dynamic scratch indices, no branches)
+        base = PP * jax.lax.rem(s, 2)
+        nbase = PP * jax.lax.rem(s + 1, 2)
 
-        @pl.when(g == 0)
+        @pl.when(s == 0)
         def _():
+            for j in range(PP):
+                for c in range(C):
+                    copy(j, j, c).start()
+
+        for j in range(PP):
             for c in range(C):
-                copy(0, 0, c).start()
+                copy(PP * s + j, base + j, c).wait()
 
-        for c in range(C):
-            copy(g, slot, c).wait()
-
-        @pl.when(g + 1 < n)
+        @pl.when(s + 1 < n)
         def _():
-            for c in range(C):
-                copy(g + 1, 1 - slot, c).start()
+            for j in range(PP):
+                for c in range(C):
+                    copy(PP * (s + 1) + j, nbase + j, c).start()
 
-        ox = meta_ref[3 * g + 2].astype(jnp.float32)
-        oy = meta_ref[3 * g + 1].astype(jnp.float32)
         Q = uv_ref.shape[2]
-        u = (uv_ref[0, 0, :] - ox).clip(0.0, RW - 1)
-        v = (uv_ref[0, 1, :] - oy).clip(0.0, RH - 1)
-        u0 = jnp.floor(u).astype(jnp.int32).clip(0, RW - 2)
-        v0 = jnp.floor(v).astype(jnp.int32).clip(0, RH - 2)
-        du = u - u0.astype(jnp.float32)
-        dv = v - v0.astype(jnp.float32)
         rowsH = jax.lax.broadcasted_iota(jnp.int32, (Q, RH), 1)
-        wy = (
-            (rowsH == v0[:, None]).astype(jnp.float32) * (1.0 - dv[:, None])
-            + (rowsH == v0[:, None] + 1).astype(jnp.float32) * dv[:, None]
-        )
         colsW = jax.lax.broadcasted_iota(jnp.int32, (Q, RW), 1)
-        wx = (
-            (colsW == u0[:, None]).astype(jnp.float32) * (1.0 - du[:, None])
-            + (colsW == u0[:, None] + 1).astype(jnp.float32) * du[:, None]
-        )
-        for c in range(C):
-            reg = jax.lax.cond(
-                slot == 0, lambda c=c: region[0, c], lambda c=c: region[1, c]
+        for j in range(PP):
+            g = PP * s + j
+            ox = meta_ref[3 * g + 2].astype(jnp.float32)
+            oy = meta_ref[3 * g + 1].astype(jnp.float32)
+            u = (uv_ref[j, 0, :] - ox).clip(0.0, RW - 1)
+            v = (uv_ref[j, 1, :] - oy).clip(0.0, RH - 1)
+            u0 = jnp.floor(u).astype(jnp.int32).clip(0, RW - 2)
+            v0 = jnp.floor(v).astype(jnp.int32).clip(0, RH - 2)
+            du = u - u0.astype(jnp.float32)
+            dv = v - v0.astype(jnp.float32)
+            wy = (
+                (rowsH == v0[:, None]).astype(jnp.float32) * (1.0 - dv[:, None])
+                + (rowsH == v0[:, None] + 1).astype(jnp.float32) * dv[:, None]
             )
-            tmp = jax.lax.dot_general(
-                wy, reg,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Q, RW]
-            out_ref[0, c, :] = (tmp * wx).sum(axis=1)
+            wx = (
+                (colsW == u0[:, None]).astype(jnp.float32) * (1.0 - du[:, None])
+                + (colsW == u0[:, None] + 1).astype(jnp.float32) * du[:, None]
+            )
+            for c in range(C):
+                reg = region[base + j, c]
+                tmp = jax.lax.dot_general(
+                    wy, reg,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Q, RW]
+                out_ref[j, c, :] = (tmp * wx).sum(axis=1)
 
     return kernel
 
@@ -172,26 +184,35 @@ def patch_sample_grouped(imgs_planar: jnp.ndarray, meta: jnp.ndarray,
     G = meta.shape[0]
     Q = uv_t.shape[2]
     C = imgs_planar.shape[1]
+    PP = PAIRS_PER_STEP
+    Gp = -(-G // PP) * PP
+    if Gp != G:
+        # padded groups read image 0 at origin 0 (valid, discarded by caller)
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((Gp - G, 3), meta.dtype)], axis=0)
+        uv_t = jnp.concatenate(
+            [uv_t, jnp.zeros((Gp - G,) + uv_t.shape[1:], uv_t.dtype)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(G,),
+        grid=(Gp // PP,),
         in_specs=[
-            pl.BlockSpec((1, 2, Q), lambda g, meta: (g, 0, 0),
+            pl.BlockSpec((PP, 2, Q), lambda s, meta: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, C, Q), lambda g, meta: (g, 0, 0),
+        out_specs=pl.BlockSpec((PP, C, Q), lambda s, meta: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, C, RH, RW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, C)),
+            pltpu.VMEM((2 * PP, C, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * PP, C)),
         ],
     )
-    return pl.pallas_call(
-        _patch_sample_kernel(RH, RW, C),
-        out_shape=jax.ShapeDtypeStruct((G, C, Q), jnp.float32),
+    out = pl.pallas_call(
+        _patch_sample_kernel(RH, RW, C, PP),
+        out_shape=jax.ShapeDtypeStruct((Gp, C, Q), jnp.float32),
         grid_spec=grid_spec,
     )(meta.reshape(-1), uv_t, imgs_planar)
+    return out[:G]
 
 
 def grouped_bilinear_stack(imgs: jnp.ndarray, group_k: jnp.ndarray,
