@@ -649,7 +649,12 @@ class Tracker:
         prob = prob._replace(poses=st.poses, rho=st.rho)
         chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
         chi2_px = np.asarray(chi2)[: len(tgt_l)] / (scfg.weight_scene**2 if not init_ba else 1.0)
-        bad = chi2_px > scfg.chi2_mono_pose
+        # global BA / landmark-only passes (loop closing) gate at chi2 18,
+        # the windowed pass at 12.25 (src/optimizer.cc:1751,:1992 vs :1238)
+        landmark_only = len(fix) == len(window_kids)
+        gate = (scfg.chi2_mono_global if (scene_only or landmark_only)
+                else scfg.chi2_mono_pose)
+        bad = chi2_px > gate
         bad_idx = np.nonzero(bad)[0]
         for kid in np.unique(kf_of_obs[bad_idx]):
             rows = bad_idx[kf_of_obs[bad_idx] == kid]
