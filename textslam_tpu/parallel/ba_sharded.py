@@ -215,22 +215,100 @@ def sharded_ba_step_landmark(problem: ba.BAProblem, mesh: Mesh,
     return poses, rho_sh[: problem.rho.shape[0]], cost
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "huber", "lam"))
-def sharded_ba_step(problem: ba.BAProblem, mesh: Mesh, huber: float = 2.447, lam: float = 1e-4):
-    """One damped GN step of scene BA with sharded assembly.
+def pad_text_to_shards(text: ba.TextObs, n_shards: int) -> ba.TextObs:
+    """Pad the text observation batch so its length divides the mesh size."""
+    O = text.tgt.shape[0]
+    Opad = ((O + n_shards - 1) // n_shards) * n_shards
+    if Opad == O:
+        return text
+
+    def fix(x, fill=0):
+        pad = [(0, Opad - O)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=fill)
+
+    hp = fix(text.host_frozen_pose)
+    hp = hp.at[O:, 0].set(1.0)
+    ms = fix(text.mu_sigma)
+    ms = ms.at[O:, 1].set(1.0)
+    return ba.TextObs(
+        tgt=fix(text.tgt), host=fix(text.host), host_frozen_pose=hp,
+        host_in_window=fix(text.host_in_window, False), text=fix(text.text),
+        rays=fix(text.rays), ref_inten=fix(text.ref_inten), mu_sigma=ms,
+        weight=fix(text.weight), valid=fix(text.valid, False),
+        level=text.level,
+    )
+
+
+def sharded_text_normal_eqs(problem: ba.BAProblem, mesh: Mesh, huber: float):
+    """Text-family normal equations with observation-parallel assembly.
+
+    Photometric observations shard along the data axis; poses/theta and the
+    target image stack replicate (the window pyramids are the working set
+    every shard samples from — SURVEY.md §7.3.2). Returns replicated
+    (Hcc, bc, Wt [T, n, 3], Ht [T, 3, 3], bt [T, 3], cost)."""
+    K = problem.poses.shape[0]
+    T = problem.theta.shape[0]
+    axis = mesh.axis_names[0]
+    text = pad_text_to_shards(problem.text, mesh.devices.size)
+
+    # level is a static int riding in the NamedTuple: shard the 10 array
+    # fields, replicate the scalar
+    obs_spec = ba.TextObs(*([P(axis)] * (len(text) - 1) + [P()]))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(obs_spec, P(), P(), P()),
+        out_specs=P(),
+    )
+    def assemble(text_shard, poses, theta, images):
+        prob = problem._replace(poses=poses, theta=theta, images=images,
+                                text=text_shard)
+        tt = ba.text_terms(prob, huber)
+        Hcc, bc = ba.assemble_camera_system(tt, text_shard.tgt, text_shard.host, K)
+        Wt, Ht, bt = ba.assemble_landmark_system(
+            tt, text_shard.tgt, text_shard.host, text_shard.text, T, K, 3
+        )
+        cost = tt["cost"].sum()
+        return (
+            jax.lax.psum(Hcc, axis), jax.lax.psum(bc, axis),
+            jax.lax.psum(Wt, axis), jax.lax.psum(Ht, axis),
+            jax.lax.psum(bt, axis), jax.lax.psum(cost, axis),
+        )
+
+    return assemble(text, problem.poses, problem.theta, problem.images)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "huber", "huber_text", "lam"))
+def sharded_ba_step(problem: ba.BAProblem, mesh: Mesh, huber: float = 2.447,
+                    huber_text: float = 3.0, lam: float = 1e-4):
+    """One damped GN step of (scene [+ text]) BA with sharded assembly.
 
     The full multi-chip 'training step': sharded residual/Jacobian eval,
     psum-reduced Schur system, replicated solve + landmark back-substitution.
-    Returns (poses, rho, cost)."""
+    Returns (poses, rho, cost) — and updated theta via the same Schur path
+    when problem.text is present (poses, rho, theta, cost)."""
     K = problem.poses.shape[0]
     n = 6 * (K + 1)
     Hcc, bc, W, Hll, bl, cost = sharded_scene_normal_eqs(problem, mesh, huber)
+    with_text = problem.text is not None
+    if with_text:
+        H2, b2, Wt, Ht, bt, cost_t = sharded_text_normal_eqs(
+            problem, mesh, huber_text)
+        Hcc = Hcc + H2
+        bc = bc + b2
+        cost = cost + cost_t
 
     free_mask = jnp.concatenate([jnp.repeat(problem.pose_free, 6), jnp.zeros(6, dtype=bool)])
     Hr_d = Hll[:, 0, 0] * (1.0 + lam) + 1e-8
     Hr_inv = jnp.where(Hll[:, 0, 0] > 1e-12, 1.0 / Hr_d, 0.0)
     H_red = Hcc - jnp.einsum("pid,p,pjd->ij", W, Hr_inv, W)
     b_red = bc - jnp.einsum("pid,p,pd->i", W, Hr_inv, bl)
+    if with_text:
+        Ht_d = Ht + (lam * Ht + 1e-8) * jnp.eye(3)
+        Ht_inv = ba.inv3x3_spd(Ht_d)
+        H_red = H_red - jnp.einsum("pid,pde,pje->ij", Wt, Ht_inv, Wt)
+        b_red = b_red - jnp.einsum("pid,pde,pe->i", Wt, Ht_inv, bt)
     diag = jnp.diagonal(H_red)
     diag_safe = jnp.where(free_mask & (diag > 1e-12), diag, 1.0)
     Dinv = 1.0 / jnp.sqrt(diag_safe)
@@ -244,4 +322,9 @@ def sharded_ba_step(problem: ba.BAProblem, mesh: Mesh, huber: float = 2.447, lam
     d = delta_c[: 6 * K].reshape(K, 6) * problem.pose_free[:, None]
     poses = jnp.where(problem.pose_free[:, None], se3.retract(problem.poses, d), problem.poses)
     rho = problem.rho + drho * problem.rho_free
+    if with_text:
+        dtheta = jnp.einsum(
+            "pde,pe->pd", Ht_inv, -bt - jnp.einsum("pid,i->pd", Wt, delta_c))
+        theta = problem.theta + dtheta * problem.theta_free[:, None]
+        return poses, rho, theta, cost
     return poses, rho, cost
