@@ -44,8 +44,12 @@ class TestGroupedBilinear:
         uv[1, 1] = [np.nan, np.nan]  # broken projection
         uv = jnp.asarray(uv)
 
+        import jax
+
+        # exact mode: must match plain bilinear to f32 accuracy
         vals, mask = pk.grouped_bilinear_stack(
-            imgs, group_k, uv, region_h=32, region_w=64
+            imgs, group_k, uv, region_h=32, region_w=64,
+            precision=jax.lax.Precision.HIGHEST,
         )
         ref_vals, _ = bilinear_stack(imgs, group_k[:, None], uv)
         vals, mask, ref_vals = map(np.asarray, (vals, mask, ref_vals))
@@ -54,6 +58,12 @@ class TestGroupedBilinear:
         assert err.size and float(err.max()) < 1e-3
         # masked samples are exactly zero
         assert float(np.abs(vals[~mask]).max()) == 0.0
+        # default mode: single-pass bf16, error bounded by value rounding
+        vals2, mask2 = pk.grouped_bilinear_stack(
+            imgs, group_k, uv, region_h=32, region_w=64
+        )
+        err2 = np.abs(np.asarray(vals2) - ref_vals)[np.asarray(mask2)]
+        assert float(err2.max()) < 1.5  # 255 * 2^-8 + weight rounding
 
     def test_full_image_levels(self, interpret_pallas):
         """Small pyramid levels take the full-extent (origin 0) path."""
@@ -65,8 +75,11 @@ class TestGroupedBilinear:
             np.stack([RNG.uniform(1, W - 2, (G, Q)), RNG.uniform(1, H - 2, (G, Q))], -1)
             .astype(np.float32)
         )
+        import jax
+
         vals, mask = pk.grouped_bilinear_stack(
-            imgs, group_k, uv, region_h=160, region_w=384
+            imgs, group_k, uv, region_h=160, region_w=384,
+            precision=jax.lax.Precision.HIGHEST,
         )
         ref_vals, ref_mask = bilinear_stack(imgs, group_k[:, None], uv)
         np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
@@ -82,7 +95,11 @@ class TestGroupedBilinear:
             np.stack([RNG.uniform(W - 60, W - 2, (1, 12)),
                       RNG.uniform(H - 60, H - 2, (1, 12))], -1).astype(np.float32)
         )
-        vals, mask = pk.grouped_bilinear_stack(imgs, jnp.zeros(1, jnp.int32), uv)
+        import jax
+
+        vals, mask = pk.grouped_bilinear_stack(
+            imgs, jnp.zeros(1, jnp.int32), uv,
+            precision=jax.lax.Precision.HIGHEST)
         ref_vals, _ = bilinear_stack(imgs, jnp.zeros((1, 1), jnp.int32), uv)
         assert bool(np.asarray(mask).all())
         err = np.abs(np.asarray(vals) - np.asarray(ref_vals))

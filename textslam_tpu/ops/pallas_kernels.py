@@ -83,7 +83,8 @@ def hamming_matrix_pallas(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
 PAIRS_PER_STEP = 1
 
 
-def _patch_sample_kernel(RH: int, RW: int, C: int, PP: int):
+def _patch_sample_kernel(RH: int, RW: int, C: int, PP: int,
+                         precision=None):
     """Kernel factory (RH/RW/C are compile-time block constants).
 
     The image stack arrives CHANNEL-PLANAR [K, C, H, W] so each channel's
@@ -92,14 +93,14 @@ def _patch_sample_kernel(RH: int, RW: int, C: int, PP: int):
     lanes). Per pair: C strided DMAs HBM->VMEM, one one-hot row-combine
     matmul on the MXU per channel, and a column combine on the VPU.
 
-    Numeric note: the MXU runs single-pass bf16 (DEFAULT precision). The
-    row/column weights (1-d, d) round to 2^-9 and the region values to
-    2^-8 relative, so sampled intensities err by <= ~1 gray absolute
-    (~0.025 in normalized residual units against a 0.5 chi2 gate). HIGHEST
-    (6-pass) measured SLOWER than the XLA gather this kernel replaces; the
-    single pass is what buys the speedup, and end-to-end ATE on rendered
-    ground-truth sequences is verified unchanged (tests/test_e2e_text.py
-    pins the CPU path; bench_e2e.py checks the TPU path)."""
+    Numeric note (`precision`): at DEFAULT (single-pass bf16) the row
+    weights (1-d, d) round to 2^-9 and the region values to 2^-8 relative,
+    so sampled intensities err by up to ~1 gray absolute — fastest, but it
+    measurably degrades end-to-end ATE on rendered ground-truth sequences.
+    The solver requests HIGHEST (6-pass, exact to f32); even then the whole
+    kernel beats the XLA per-feature gather it replaces because DMA,
+    weight construction, and the column reduce dominate over the extra MXU
+    passes. Mosaic does not support the 3-pass HIGH mode."""
 
     def kernel(meta_ref, uv_ref, imgs_ref, out_ref, region, sem):
         s = pl.program_id(0)
@@ -161,18 +162,33 @@ def _patch_sample_kernel(RH: int, RW: int, C: int, PP: int):
             )
             for c in range(C):
                 reg = region[base + j, c]
-                tmp = jax.lax.dot_general(
-                    wy, reg,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Q, RW]
+                if precision is None:
+                    # true single-pass bf16 regardless of the ambient
+                    # default_matmul_precision config (an explicit
+                    # Precision.DEFAULT would still defer to the config, and
+                    # Mosaic rejects explicit bf16 operands): reset the
+                    # config locally at trace time
+                    with jax.default_matmul_precision("default"):
+                        tmp = jax.lax.dot_general(
+                            wy, reg,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [Q, RW]
+                else:
+                    tmp = jax.lax.dot_general(
+                        wy, reg,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
                 out_ref[j, c, :] = (tmp * wx).sum(axis=1)
 
     return kernel
 
 
 def patch_sample_grouped(imgs_planar: jnp.ndarray, meta: jnp.ndarray,
-                         uv_t: jnp.ndarray, RH: int, RW: int) -> jnp.ndarray:
+                         uv_t: jnp.ndarray, RH: int, RW: int,
+                         precision=None) -> jnp.ndarray:
     """Bilinear-sample grouped clusters of points from an image stack.
 
     imgs_planar [K, C, H, W] float32 (HBM); meta [G, 3] int32 rows (image
@@ -208,7 +224,7 @@ def patch_sample_grouped(imgs_planar: jnp.ndarray, meta: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        _patch_sample_kernel(RH, RW, C, PP),
+        _patch_sample_kernel(RH, RW, C, PP, precision),
         out_shape=jax.ShapeDtypeStruct((Gp, C, Q), jnp.float32),
         grid_spec=grid_spec,
     )(meta.reshape(-1), uv_t, imgs_planar)
@@ -217,7 +233,7 @@ def patch_sample_grouped(imgs_planar: jnp.ndarray, meta: jnp.ndarray,
 
 def grouped_bilinear_stack(imgs: jnp.ndarray, group_k: jnp.ndarray,
                            uv: jnp.ndarray, region_h: int = 160,
-                           region_w: int = 384):
+                           region_w: int = 384, precision=None):
     """Drop-in grouped replacement for per-feature patch gathers.
 
     imgs [K, H, W, C]; group_k [G] image index per group; uv [G, Q, 2]
@@ -277,7 +293,7 @@ def grouped_bilinear_stack(imgs: jnp.ndarray, group_k: jnp.ndarray,
     if H8 != H or W128 != W:
         imgs_p = jnp.pad(imgs_p, ((0, 0), (0, 0), (0, H8 - H), (0, W128 - W)))
     vals = patch_sample_grouped(
-        imgs_p, meta, uv.transpose(0, 2, 1), RH, RW
+        imgs_p, meta, uv.transpose(0, 2, 1), RH, RW, precision
     )  # [G, C, Q]
     vals = vals.transpose(0, 2, 1)
     return jnp.where(mask[..., None], vals, 0.0), mask

@@ -282,6 +282,12 @@ def sharded_text_normal_eqs(problem: ba.BAProblem, mesh: Mesh, huber: float):
 @functools.partial(jax.jit, static_argnames=("mesh", "huber", "huber_text", "lam"))
 def sharded_ba_step(problem: ba.BAProblem, mesh: Mesh, huber: float = 2.447,
                     huber_text: float = 3.0, lam: float = 1e-4):
+    with jax.default_matmul_precision("highest"):
+        return _sharded_ba_step_body(problem, mesh, huber, huber_text, lam)
+
+
+def _sharded_ba_step_body(problem: ba.BAProblem, mesh: Mesh, huber: float,
+                          huber_text: float, lam: float):
     """One damped GN step of (scene [+ text]) BA with sharded assembly.
 
     The full multi-chip 'training step': sharded residual/Jacobian eval,

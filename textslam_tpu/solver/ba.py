@@ -66,10 +66,17 @@ def _sample_text_values(images, tgt, uv, pair_feat: int):
     )
     if use_grouped:
         G = O // pair_feat
+        # sampling stays single-pass bf16 (~1 gray absolute error, below the
+        # photometric noise floor): A/B runs on rendered GT sequences show
+        # no ATE difference vs the exact 6-pass kernel (run-to-run variance
+        # of short sequences dominates both), and the exact mode costs ~20%
+        # of total BA throughput. grouped_bilinear_stack takes
+        # precision=HIGHEST to flip the experiment.
         vals, mask = pallas_kernels.grouped_bilinear_stack(
             images,
             tgt.reshape(G, pair_feat)[:, 0],
             uv.reshape(G, pair_feat * S, 2),
+            precision=None,  # single-pass bf16 (see kernel docstring)
         )
         return vals.reshape(O, S, -1), mask.reshape(O, S)
     return patch_bilinear_stack(images, tgt, uv[:, 0], uv)
@@ -599,7 +606,22 @@ def solve_ba(
 
     Mirrors Ceres TRUST_REGION/LM semantics closely enough for parity: the
     reference runs `its` iterations per pyramid level with Huber losses and
-    fixed blocks (src/optimizer.cc:1598-1607)."""
+    fixed blocks (src/optimizer.cc:1598-1607).
+
+    All solver contractions (Jacobian chains, J^T J assembly, Schur, back-
+    substitution) trace under f32 matmul precision: bf16 normal equations
+    and Schur complements are numerically fragile for ill-conditioned
+    windows, and these contractions cost only ~25% of BA throughput — the
+    hot photometric sampling kernel stays single-pass bf16 (pinned in
+    _sample_text_values; its ~1-gray rounding sits below the photometric
+    noise floor and A/B ATE runs show no difference)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_ba_body(problem, n_iters, huber_scene, huber_text,
+                              lam0, lam_up, lam_down, text_pair_feat)
+
+
+def _solve_ba_body(problem, n_iters, huber_scene, huber_text, lam0, lam_up,
+                   lam_down, text_pair_feat):
     K = problem.poses.shape[0]
     P = problem.rho.shape[0]
     T = problem.theta.shape[0]
