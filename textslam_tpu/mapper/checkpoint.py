@@ -24,7 +24,8 @@ def save(path: str, slam_map: SlamMap, tracker=None, text_frontend=None, extra: 
     blobs["kf_pose"] = m.kf_pose
     blobs["kf_valid"] = m.kf_valid
     for name in ("pt_host", "pt_ray", "pt_rho", "pt_valid", "pt_bad", "pt_desc",
-                 "pt_good_obs", "pt_bad_obs",
+                 "pt_desc_latest", "pt_desc_second",
+                 "pt_good_obs", "pt_bad_obs", "pt_n_obs",
                  "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
                  "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
                  "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
@@ -102,13 +103,17 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
     m = SlamMap(cfg)
     m.kf_pose = z["kf_pose"].copy()
     m.kf_valid = z["kf_valid"].copy()
+    # fields added after a checkpoint was written keep their SlamMap.__init__
+    # defaults (forward-compatible loads; pt_n_obs is recomputed below)
     for name in ("pt_host", "pt_ray", "pt_rho", "pt_valid", "pt_bad", "pt_desc",
-                 "pt_good_obs", "pt_bad_obs",
+                 "pt_desc_latest", "pt_desc_second",
+                 "pt_good_obs", "pt_bad_obs", "pt_n_obs",
                  "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
                  "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
                  "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
                  "M1", "M2", "M3"):
-        setattr(m, name, z[name].copy())
+        if name in z:
+            setattr(m, name, z[name].copy())
     m.n_points = int(z["n_points"])
     m.n_texts = int(z["n_texts"])
     for t, s in enumerate(meta["tx_string"]):
@@ -152,6 +157,18 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
                 det.quad = kf.det_quads[d]
         kf.loop_edges = list(km["loop_edges"])
         m.keyframes.append(kf)
+
+    if "pt_n_obs" not in z:
+        # legacy checkpoint: recompute per-point observing-KF counts from the
+        # restored keyframe observation registries (the same reduction
+        # rebuild_covis_m1 uses) — a zeroed pt_n_obs would silently disable
+        # the KF-policy c2 condition (tracked_map_points needs n_obs>=minObs)
+        for kf in m.keyframes:
+            pids = kf.kp_point[(kf.kp_point >= 0) & kf.obs_good]
+            np.add.at(m.pt_n_obs, np.unique(pids), 1)
+    if "pt_desc_latest" not in z:
+        m.pt_desc_latest[: m.n_points] = m.pt_desc[: m.n_points]
+        m.pt_desc_second[: m.n_points] = m.pt_desc[: m.n_points]
 
     if tracker is not None and "tracker" in meta:
         tm = meta["tracker"]

@@ -73,6 +73,14 @@ class SlamMap:
         self.pt_valid = np.zeros(m.max_points, bool)
         self.pt_bad = np.zeros(m.max_points, bool)
         self.pt_desc = np.zeros((m.max_points, 8), np.uint32)
+        # viewpoint-adaptive matching descriptors: the reference matches each
+        # map point with its descriptor AS OBSERVED in the nearest / 2nd-
+        # nearest keyframe (src/tracking.cc:1162 F1->mDescr.row(IdxObserv),
+        # SearchFrom3DAdd retry :1275-1345). Frames only move forward, so the
+        # nearest observing KF is the most recent one; we keep the latest and
+        # previous observation descriptors per point, updated O(1) per obs.
+        self.pt_desc_latest = np.zeros((m.max_points, 8), np.uint32)
+        self.pt_desc_second = np.zeros((m.max_points, 8), np.uint32)
         self.pt_good_obs = np.zeros(m.max_points, np.int32)
         self.pt_bad_obs = np.zeros(m.max_points, np.int32)
         # number of keyframes observing each point (mapPts::GetObvNum —
@@ -157,6 +165,8 @@ class SlamMap:
         self.pt_rho[pid] = rho
         self.pt_valid[pid] = True
         self.pt_desc[pid] = desc
+        self.pt_desc_latest[pid] = desc
+        self.pt_desc_second[pid] = desc
         self.n_points += 1
         return pid
 
@@ -165,6 +175,9 @@ class SlamMap:
         kf.kp_point[kp_idx] = pid
         kf.obs_good[kp_idx] = True
         self.pt_n_obs[pid] += 1
+        # roll the viewpoint-adaptive descriptors (nearest = most recent KF)
+        self.pt_desc_second[pid] = self.pt_desc_latest[pid]
+        self.pt_desc_latest[pid] = kf.kp_desc[kp_idx]
 
     def tracked_map_points(self, kid: int, min_obs: int) -> int:
         """Count of this KF's good observations whose point is seen by at

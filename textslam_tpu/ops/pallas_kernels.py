@@ -95,12 +95,16 @@ def _patch_sample_kernel(RH: int, RW: int, C: int, PP: int,
 
     Numeric note (`precision`): at DEFAULT (single-pass bf16) the row
     weights (1-d, d) round to 2^-9 and the region values to 2^-8 relative,
-    so sampled intensities err by up to ~1 gray absolute — fastest, but it
-    measurably degrades end-to-end ATE on rendered ground-truth sequences.
-    The solver requests HIGHEST (6-pass, exact to f32); even then the whole
-    kernel beats the XLA per-feature gather it replaces because DMA,
-    weight construction, and the column reduce dominate over the extra MXU
-    passes. Mosaic does not support the 3-pass HIGH mode."""
+    so sampled intensities err by up to ~1 gray absolute. That sits below
+    the photometric noise floor: A/B runs on rendered ground-truth
+    sequences show no ATE difference vs HIGHEST, so the solver pins
+    precision=None (single-pass bf16) — see solver/ba.py
+    _sample_text_values, which is the governing accuracy claim. HIGHEST
+    (6-pass, exact to f32) costs ~20% of BA throughput and remains
+    available to flip the experiment; even then the kernel beats the XLA
+    per-feature gather it replaces because DMA, weight construction, and
+    the column reduce dominate over the extra MXU passes. Mosaic does not
+    support the 3-pass HIGH mode."""
 
     def kernel(meta_ref, uv_ref, imgs_ref, out_ref, region, sem):
         s = pl.program_id(0)

@@ -28,6 +28,19 @@ from ..geometry import se3
 from ..solver import ba
 
 
+def _text_obs_spec(axis: str) -> ba.TextObs:
+    """Shard every TextObs array field along `axis`; `level` (a static int
+    riding in the NamedTuple) replicates. Built by field name so reordering
+    or appending fields cannot silently mis-shard anything."""
+    specs = {f: P(axis) for f in ba.TextObs._fields}
+    specs["level"] = P()
+    return ba.TextObs(**specs)
+
+
+def _scene_obs_spec(axis: str) -> ba.SceneObs:
+    return ba.SceneObs(**{f: P(axis) for f in ba.SceneObs._fields})
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -67,8 +80,7 @@ def sharded_scene_normal_eqs(problem: ba.BAProblem, mesh: Mesh, huber: float):
     axis = mesh.axis_names[0]
     scene = pad_obs_to_shards(problem.scene, mesh.devices.size)
 
-    obs_spec = jax.tree.map(lambda _: P(axis), scene)
-    obs_spec = ba.SceneObs(*[P(axis)] * len(scene))
+    obs_spec = _scene_obs_spec(axis)
 
     @functools.partial(
         shard_map,
@@ -157,7 +169,7 @@ def _landmark_sharded_step(scene, rho_p, rf_p, poses, pose_free, P_local: int,
     axis = mesh.axis_names[0]
     free_mask = jnp.concatenate([jnp.repeat(pose_free, 6), jnp.zeros(6, dtype=bool)])
 
-    obs_spec = ba.SceneObs(*[P(axis)] * len(scene))
+    obs_spec = _scene_obs_spec(axis)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -251,9 +263,7 @@ def sharded_text_normal_eqs(problem: ba.BAProblem, mesh: Mesh, huber: float):
     axis = mesh.axis_names[0]
     text = pad_text_to_shards(problem.text, mesh.devices.size)
 
-    # level is a static int riding in the NamedTuple: shard the 10 array
-    # fields, replicate the scalar
-    obs_spec = ba.TextObs(*([P(axis)] * (len(text) - 1) + [P()]))
+    obs_spec = _text_obs_spec(axis)
 
     @functools.partial(
         shard_map,

@@ -56,7 +56,7 @@ def _sample_text_values(images, tgt, uv, pair_feat: int):
     gather is ~55% of a BA iteration under XLA's lowering). Masks differ only
     where the grouped region fails to cover a sample that a per-feature patch
     would (boxes wider than the region window) — such samples drop, exactly
-    like out-of-image samples."""
+    like out-of-image samples. `text_region_coverage` measures that loss."""
     O, S = uv.shape[0], uv.shape[1]
     use_grouped = (
         pair_feat > 0
@@ -763,6 +763,33 @@ def scene_chi2(problem: BAProblem, huber: float):
 def text_chi2(problem: BAProblem, huber: float, pair_feat: int = 0):
     tt = text_terms(problem, huber, pair_feat)
     return tt["chi2"], tt["w"] > 0
+
+
+def text_region_coverage(problem: BAProblem, pair_feat: int):
+    """Debug counter for the grouped sampler's silent coverage loss.
+
+    The TPU grouped path (_sample_text_values) drops samples that are inside
+    the image but outside the group's aligned region window; the per-feature
+    fallback keeps them. Returns (n_dropped, n_in_image): samples the region
+    window loses vs the exact per-feature gather. Call it from tests or a
+    profiling pass when a sequence has unusually large close-range text boxes
+    (coverage loss scales with projected box size)."""
+    t = problem.text
+    poses_ext = jnp.concatenate([problem.poses, se3.identity((1,))], axis=0)
+    tgt_pose = poses_ext[t.tgt]
+    host_pose = _gather_pose(poses_ext, t.host, t.host_frozen_pose, t.host_in_window[:, None])
+    theta = problem.theta[t.text]
+    fxl, fyl, cxl, cyl = _text_level_K(problem, t.level)
+    A = se3.compose(tgt_pose, se3.inverse(host_pose))
+    rho = -(t.rays * theta[:, None, :]).sum(-1)
+    p_h = t.rays / rho[..., None]
+    p_c = se3.apply(A[:, None, :], p_h)
+    uv = project(p_c, fxl, fyl, cxl, cyl)
+    _, mask_grouped = _sample_text_values(problem.images, t.tgt, uv, pair_feat)
+    _, mask_exact = patch_bilinear_stack(problem.images, t.tgt, uv[:, 0], uv)
+    live = t.valid[:, None] & (p_c[..., 2] > 1e-4) & (rho > 1e-6)
+    dropped = (mask_exact & ~mask_grouped & live).sum()
+    return int(dropped), int((mask_exact & live).sum())
 
 
 @functools.partial(jax.jit, static_argnames=("pair_feat",))
