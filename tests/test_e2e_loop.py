@@ -22,7 +22,11 @@ def make_cfg():
         no_text=False,
         camera=CameraConfig(fx=synth.FX, fy=synth.FY, cx=synth.CX, cy=synth.CY,
                             width=synth.W, height=synth.H, fps=6.0),
-        loop=LoopConfig(min_kfs_before_loop=6, min_kfs_between_loops=5),
+        # short synthetic sequence: relax the scale-dependent gates
+        # (the reference defaults assume hundreds of KFs — GetThreshWordsNum
+        # refuses to attempt a loop with <= 10 covisible KFs)
+        loop=LoopConfig(min_kfs_before_loop=6, min_kfs_between_loops=5,
+                        num_covis_for_thresh=3),
     )
 
 
@@ -76,24 +80,43 @@ def result():
         slam.track_monocular(img, float(i), detections=dets[i])
     # lift amnesia before final asserts so evaluation sees the true state
     amnesia["cutoff"] = None
-    return slam, gt, world
+
+    # post-loop re-tracking (TrackLocalMap subsumption, PARITY.md): re-feed
+    # the final frames with amnesia lifted and record which landmarks the
+    # per-frame matcher consumes — loop-side (old leg) points must re-enter
+    post_loop_hosts = []
+    if slam.loop_closer.closed_loops:
+        def match_recording(frame, guess, radius_scale=1.0):
+            pids, idx, ok = orig_match(frame, guess, radius_scale)
+            m = slam.map
+            sel = pids[ok]
+            sel = sel[sel < m.n_points]
+            post_loop_hosts.append(m.pt_host[sel].copy())
+            return pids, idx, ok
+
+        tr._match_map = match_recording
+        # original timestamps: any KF inserted here still indexes valid GT
+        for i in range(len(frames) - 3, len(frames)):
+            slam.track_monocular(frames[i], float(i), detections=dets[i])
+        tr._match_map = match_with_amnesia
+    return slam, gt, world, post_loop_hosts
 
 
 class TestLoopClosing:
     def test_loop_detected_and_closed(self, result):
-        slam, gt, world = result
+        slam, gt, world, post_hosts = result
         assert slam.loop_closer.closed_loops, "no loop closed"
         cur, cand = slam.loop_closer.closed_loops[0]
         assert cand < cur
 
     def test_landmarks_fused(self, result):
-        slam, gt, world = result
+        slam, gt, world, post_hosts = result
         m = slam.map
         # fusion marks replaced points/texts invalid
         assert m.pt_bad[: m.n_points].sum() > 0 or (~m.tx_valid[: m.n_texts]).sum() > 0
 
     def test_trajectory_still_accurate(self, result):
-        slam, gt, world = result
+        slam, gt, world, post_hosts = result
         m = slam.map
         kts = np.array([kf.timestamp for kf in m.keyframes])
         kposes = np.stack([m.kf_pose[kf.kid] for kf in m.keyframes])
@@ -102,10 +125,25 @@ class TestLoopClosing:
         assert ate < 0.03, f"post-loop KF ATE {ate}"
 
     def test_covisibility_bridged(self, result):
-        slam, gt, world = result
+        slam, gt, world, post_hosts = result
         m = slam.map
         cur, cand = slam.loop_closer.closed_loops[0]
         K = len(m.keyframes)
         # after fusion + rebuild, the two legs share landmarks
         bridge = m.M1[:cand + 1, cand + 1:K].sum() + m.M2[:cand + 1, cand + 1:K].sum()
         assert bridge > 0
+
+    def test_post_loop_retracking_consumes_old_landmarks(self, result):
+        """TrackLocalMap subsumption (PARITY.md): after the loop closes, the
+        per-frame matcher (which projects the WHOLE point pool) must feed
+        loop-side landmarks back into tracking — the reference needs a
+        dedicated covisibility-limited re-search pass for this
+        (src/tracking.cc:546-586); here it falls out of the batched matcher."""
+        slam, gt, world, post_hosts = result
+        assert post_hosts, "no post-loop frames were tracked"
+        cur, cand = slam.loop_closer.closed_loops[0]
+        old_side = np.concatenate(post_hosts)
+        # the final frames revisit the start region: old-leg-hosted points
+        # (host <= loop candidate KF) must appear among the consumed matches
+        assert (old_side <= cand).sum() > 0, (
+            f"no loop-side landmarks re-entered tracking: hosts {np.unique(old_side)}")

@@ -203,3 +203,60 @@ class TestPallasHamming:
             interpret=True,
         )(d1t, d2t)
         np.testing.assert_array_equal(np.asarray(out)[:200, :300], want)
+
+
+class TestBoxORB:
+    """In-box densification + boundary pruning (FeatExtracText +
+    BoundFeatDele_T, src/frame.cc:232-244, src/tool.cc:456-509)."""
+
+    def _textured(self, seed=0, H=160, W=240):
+        rng = np.random.default_rng(seed)
+        img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        # checkerboard inside the box -> strong corners everywhere
+        return img
+
+    def test_keypoints_inside_shrunk_box(self):
+        from textslam_tpu.ops import orb, rasterize
+
+        img = self._textured()
+        quads = np.zeros((4, 4, 2), np.float32)
+        quads[0] = [[60, 40], [180, 40], [180, 100], [60, 100]]
+        qvalid = np.zeros(4, bool)
+        qvalid[0] = True
+        kp = orb.extract_box_orb(jnp.asarray(img), jnp.asarray(quads),
+                                 jnp.asarray(qvalid), n_keep=64, shrink=3.0)
+        uv = np.asarray(kp.uv)[np.asarray(kp.valid)]
+        assert len(uv) > 10, "no in-box corners found"
+        inq = np.asarray(rasterize.point_in_quad(jnp.asarray(uv), jnp.asarray(quads[0])))
+        assert inq.all(), "keypoint escaped the box"
+        # boundary prune: nothing within ~2.5px of the box edges
+        d_left = uv[:, 0] - 60
+        d_right = 180 - uv[:, 0]
+        d_top = uv[:, 1] - 40
+        d_bot = 100 - uv[:, 1]
+        assert min(d_left.min(), d_right.min(), d_top.min(), d_bot.min()) >= 2.0
+
+    def test_no_detections_no_keypoints(self):
+        from textslam_tpu.ops import orb
+
+        img = self._textured()
+        quads = np.zeros((4, 4, 2), np.float32)
+        qvalid = np.zeros(4, bool)
+        kp = orb.extract_box_orb(jnp.asarray(img), jnp.asarray(quads),
+                                 jnp.asarray(qvalid), n_keep=32)
+        assert not bool(np.asarray(kp.valid).any())
+
+    def test_frame_gains_box_features(self):
+        from textslam_tpu.frontend.frame import build_frame, TextDetection
+        from textslam_tpu.config import TextSLAMConfig, CameraConfig
+
+        cfg = TextSLAMConfig(
+            camera=CameraConfig(fx=200.0, fy=200.0, cx=120.0, cy=80.0,
+                                width=240, height=160))
+        img = self._textured()
+        det = TextDetection(
+            quad=np.array([[60, 40], [180, 40], [180, 100], [60, 100]], np.float32),
+            text="HELLO", score=0.9)
+        f_no = build_frame(cfg, img, 0, 0.0, detections=None, with_pyramid=False)
+        f_yes = build_frame(cfg, img, 0, 0.0, detections=[det], with_pyramid=False)
+        assert f_yes.kp_uv.shape[0] == f_no.kp_uv.shape[0] + cfg.orb.n_box_features

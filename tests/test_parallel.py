@@ -54,6 +54,43 @@ class TestShardedBA:
             assert float(jnp.linalg.norm(p.poses[k, 4:] - poses_gt[k, 4:])) < 5e-3
 
 
+class TestShardedLMLoop:
+    """solve_ba_sharded = the FULL deferred-accept LM loop over the mesh
+    (VERDICT r1 item 1): must reproduce solve_ba exactly, not just one step."""
+
+    def test_scene_only_matches_solve_ba(self, mesh):
+        problem, poses_gt, rho_gt = make_ba_problem()
+        st1 = ba.solve_ba(problem, n_iters=6)
+        st8 = ba_sharded.solve_ba_sharded(problem, mesh, n_iters=6)
+        np.testing.assert_allclose(np.asarray(st8.poses), np.asarray(st1.poses),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st8.rho), np.asarray(st1.rho),
+                                   rtol=1e-4, atol=1e-6)
+        assert abs(float(st8.cost) - float(st1.cost)) <= 1e-3 * max(1.0, float(st1.cost))
+
+    def test_joint_text_matches_solve_ba(self, mesh):
+        from __graft_entry__ import _synthetic_problem
+
+        problem = _synthetic_problem(n_kf=4, n_pts=128, obs_per_kf=64, n_text=4,
+                                     text_feat=8, img_hw=(96, 128), with_text=True)
+        st1 = ba.solve_ba(problem, n_iters=4)
+        st8 = ba_sharded.solve_ba_sharded(problem, mesh, n_iters=4)
+        np.testing.assert_allclose(np.asarray(st8.poses), np.asarray(st1.poses),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(st8.theta), np.asarray(st1.theta),
+                                   atol=1e-4)
+
+    def test_unpadded_obs_count(self, mesh):
+        """Observation counts that don't divide the mesh get padded host-side."""
+        problem, _, _ = make_ba_problem()
+        odd = jax.tree.map(lambda x: x[:-3], problem.scene)
+        problem = problem._replace(scene=odd)
+        st8 = ba_sharded.solve_ba_sharded(problem, mesh, n_iters=3)
+        st1 = ba.solve_ba(problem, n_iters=3)
+        np.testing.assert_allclose(np.asarray(st8.poses), np.asarray(st1.poses),
+                                   atol=1e-5)
+
+
 class TestBatchedFeatures:
     def test_sharded_extraction(self, mesh):
         import synth

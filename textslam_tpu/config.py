@@ -89,6 +89,12 @@ class ORBConfig:
     edge_threshold: int = 19
     # capacity of the padded keypoint pools (per frame, all levels fused)
     max_keypoints: int = 4096
+    # per-frame in-text-box densification budget (the reference's second ORB
+    # pass per box, FeatExtracText src/frame.cc:232,334; 0 disables) and the
+    # boundary prune margin in px (BoundFeatDele_T WinText = -3,
+    # src/frame.cc:241)
+    n_box_features: int = 256
+    box_boundary_margin: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,7 +103,15 @@ class MatchConfig:
 
     th_low: int = 50
     th_high: int = 100
+    # rotation-consistency histogram bins. NOTE: in the reference this is
+    # vestigial ORB-SLAM code — HISTO_LENGTH (src/tracking.cc:23) and
+    # ComputeThreeMaxima (:2780) are defined but called by NO matcher
+    # (verified by grep over src/ + include/). The filter is therefore
+    # opt-in here: use_rotation_check=False reproduces reference behavior;
+    # True applies ops.matching.rotation_histogram_filter (keep the 3 most
+    # populated of `histo_length` bins) in the init + triangulation matchers.
     histo_length: int = 30
+    use_rotation_check: bool = False
     nn_ratio_init: float = 0.9
     search_radius_3d: float = 18.0  # px window for SearchFrom3D
     search_window_init: float = 100.0  # two-view bootstrap window
@@ -121,6 +135,9 @@ class SolverConfig:
     chi2_mono_global: float = 18.0
     chi2_text_levels: Tuple[float, ...] = (0.95, 0.5, 0.5, 0.5)  # level 0..3 gates
     chi2_text_landmark: float = 1.5
+    # PyrLandmarkers has the text gate coded but hard-disabled
+    # (TEXTOutlier=false, src/optimizer.cc:1861); flip this to enable it
+    text_outlier_landmark: bool = False
     # a text observation (KF, object) goes bad when more than this fraction
     # of its features fail the per-sample gate (TextRatio,
     # src/optimizer.cc:1082,1291)
@@ -173,14 +190,38 @@ class LoopConfig:
 
     min_kfs_before_loop: int = 20
     min_kfs_between_loops: int = 20
-    score_thresh_indoor: float = 0.51
-    score_thresh_outdoor: float = 0.35
-    top_candidates: int = 10
-    min_inliers: int = 25
+    score_thresh_indoor: float = 0.51  # ScoreThresh_min indoor
+    score_thresh_outdoor: float = 0.35  # ScoreThresh_min outdoor
+    min_str_score: float = 0.3  # thMinStrScore (src/loopClosing.cc:122)
+    top_candidates: int = 10  # TopN (src/loopClosing.cc:282)
+    num_covis_for_thresh: int = 10  # num_neighKFs in GetThreshWordsNum (:601)
+    thresh_words_scale: float = 0.6  # floor(0.6 * thresh) (:78)
+    min_inliers: int = 25  # accept requires MaxInlierNum > 25 (:93-106)
+    # Thmin_ThreshMatchWordsNum (:27-34): indoor 1 / outdoor 2
+    thmin_match_words_indoor: int = 1
+    thmin_match_words_outdoor: int = 2
+    # Th_nInliers_Scene (:28-41): candidate-selection scene-inlier gate,
+    # active only for INDOOR_LOOP_A (8); -1 disables
+    th_inliers_scene_indoor_a: int = 8
+    # Th_MaxInlierNum_S (:29): final-accept scene-inlier gate, outdoor only
     min_scene_inliers_outdoor: int = 10
+    # DoubleCheck_Visible (:31): vConnects 2-hop exclusion, outdoor only
+    double_check_visible_outdoor: bool = True
     sim3_ransac_iters: int = 200
+    sim3_min_inliers: int = 20  # Sim3Solver SetRansacParameters(0.99, 20, 300)
     sim3_inlier_err2: float = 45.0  # px^2 symmetric reprojection (Sim3Solver.cc:195-221)
     sim3_refine_err: float = 4.0  # px after Ceres-style refine (src/optimizer.cc:706-729)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh scale-out (SURVEY.md §2.4; no reference analog — the
+    reference is single-threaded, src/optimizer.cc:1600 num_threads=1)."""
+
+    # devices for windowed/global BA: 0 or 1 = single-device solve_ba;
+    # >1 = Tracker._local_ba dispatches to parallel.ba_sharded.solve_ba_sharded
+    # over a mesh of this many devices (capped to jax.device_count()).
+    ba_devices: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,6 +252,7 @@ class TextSLAMConfig:
     text: TextConfig = dataclasses.field(default_factory=TextConfig)
     loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     seed: int = 0  # deterministic runs (reference: srand(0), SeedRandOnce(0))
 
     @property
@@ -220,9 +262,44 @@ class TextSLAMConfig:
         return self.loop.score_thresh_indoor
 
     @property
+    def loop_thmin_match_words(self) -> int:
+        """Per-experiment Thmin_ThreshMatchWordsNum (src/loopClosing.cc:27,34)."""
+        if self.experiment == Experiment.OUTDOOR:
+            return self.loop.thmin_match_words_outdoor
+        return self.loop.thmin_match_words_indoor
+
+    @property
+    def loop_th_inliers_scene(self) -> int:
+        """Per-experiment Th_nInliers_Scene (src/loopClosing.cc:28,39-41):
+        8 for INDOOR_LOOP_A, disabled (-1) otherwise."""
+        if self.experiment == Experiment.INDOOR_LOOP_A:
+            return self.loop.th_inliers_scene_indoor_a
+        return -1
+
+    @property
+    def loop_th_max_inlier_scene(self) -> int:
+        """Per-experiment Th_MaxInlierNum_S (src/loopClosing.cc:29): final-
+        accept scene-inlier requirement, outdoor only; -1 disables."""
+        if self.experiment == Experiment.OUTDOOR:
+            return self.loop.min_scene_inliers_outdoor
+        return -1
+
+    @property
+    def loop_double_check_visible(self) -> bool:
+        """DoubleCheck_Visible (src/loopClosing.cc:31): outdoor only."""
+        return (self.experiment == Experiment.OUTDOOR
+                and self.loop.double_check_visible_outdoor)
+
+    @property
     def kf_min_gap(self) -> int:
-        """KF policy gap = fps/2 frames (src/tracking.cc:873-898)."""
+        """KF policy gap = fps/2 frames (mMaxFrames, src/tracking.cc:50,886)."""
         return int(self.camera.fps // 2)
+
+    @property
+    def kf_max_gap(self) -> int:
+        """Forced-KF gap = fps/2 + 5 frames (mMaxFramesMax feeding the c3
+        condition, src/tracking.cc:51,888)."""
+        return self.kf_min_gap + 5
 
 
 def load_yaml(path: str) -> TextSLAMConfig:

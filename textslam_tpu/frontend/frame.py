@@ -72,6 +72,31 @@ def build_frame(
         scale=cfg.orb.scale_factor,
         threshold=float(cfg.orb.fast_threshold_min),
     )
+    kp_uv = np.asarray(kp.uv)
+    kp_level = np.asarray(kp.level)
+    kp_angle = np.asarray(kp.angle)
+    kp_desc = np.asarray(kp.desc)
+    kp_valid = np.asarray(kp.valid)
+    # in-box densification + boundary pruning (FeatExtracText +
+    # BoundFeatDele_T; these corners feed loop Sim3 text matching)
+    if detections and not cfg.no_text and cfg.orb.n_box_features > 0:
+        D = cfg.text.max_detections_per_frame
+        quads = np.zeros((D, 4, 2), np.float32)
+        qvalid = np.zeros(D, bool)
+        for i, det in enumerate(detections[:D]):
+            quads[i] = det.quad
+            qvalid[i] = True
+        bkp = orb.extract_box_orb(
+            imj, jnp.asarray(quads), jnp.asarray(qvalid),
+            n_keep=cfg.orb.n_box_features,
+            threshold=float(cfg.orb.fast_threshold_min),
+            shrink=cfg.orb.box_boundary_margin,
+        )
+        kp_uv = np.concatenate([kp_uv, np.asarray(bkp.uv)])
+        kp_level = np.concatenate([kp_level, np.asarray(bkp.level)])
+        kp_angle = np.concatenate([kp_angle, np.asarray(bkp.angle)])
+        kp_desc = np.concatenate([kp_desc, np.asarray(bkp.desc)])
+        kp_valid = np.concatenate([kp_valid, np.asarray(bkp.valid)])
     pyr_data = pyr_shapes = None
     if with_pyramid and not cfg.no_text:
         n_lv = max(cfg.pyramid.init_ba_levels) + 1
@@ -83,11 +108,11 @@ def build_frame(
         frame_id=frame_id,
         timestamp=timestamp,
         shape=img.shape,
-        kp_uv=np.asarray(kp.uv),
-        kp_level=np.asarray(kp.level),
-        kp_angle=np.asarray(kp.angle),
-        kp_desc=np.asarray(kp.desc),
-        kp_valid=np.asarray(kp.valid),
+        kp_uv=kp_uv,
+        kp_level=kp_level,
+        kp_angle=kp_angle,
+        kp_desc=kp_desc,
+        kp_valid=kp_valid,
         pyr_data=pyr_data,
         pyr_shapes=pyr_shapes,
         detections=list(detections or []),

@@ -77,33 +77,45 @@ def search_from_3d(
     pt_ray, pt_rho, pt_host_pose, pt_desc, pt_valid,
     pose_guess, kp_uv, kp_desc, kp_valid,
     fx, fy, cx, cy, radius, max_dist, width: int, height: int,
+    pt_desc_alt=None,
 ):
-    """Project-all + windowed Hamming match (SearchFrom3D analog)."""
+    """Project-all + windowed Hamming match (SearchFrom3D analog).
+
+    pt_desc should be the point's descriptor AS OBSERVED in the nearest
+    (most recent) keyframe, with pt_desc_alt the 2nd-nearest observation's
+    (src/tracking.cc:1162 F1->mDescr.row(IdxObserv) + the SearchFrom3DAdd
+    retry :1275-1345) — matched as min distance over the two."""
     proj, z = _project_points(pt_ray, pt_rho, pt_host_pose, pose_guess, fx, fy, cx, cy)
     vis = pt_valid & (z > 0.05) & in_image(proj, width, height, margin=1.0)
     pair = matching.window_mask(proj, kp_uv, radius)
     idx, ok = matching.mutual_best_match(
-        pt_desc, kp_desc, vis, kp_valid, pair_mask=pair, max_dist=max_dist
+        pt_desc, kp_desc, vis, kp_valid, pair_mask=pair, max_dist=max_dist,
+        d1_alt=pt_desc_alt,
     )
     return idx, ok, proj, z
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("rot_bins",))
 def _match_triangulate(
     kp_uv1, kp_desc1, kp_valid1, kp_level1,
     kp_uv2, kp_desc2, kp_valid2,
     T1, T2, fx, fy, cx, cy, radius_base, max_dist, max_err2,
+    kp_angle1=None, kp_angle2=None, rot_bins: int = 0,
 ):
     """Match unmatched features between two frames and triangulate.
 
     Window radius scales with the octave of the first frame's keypoint
-    (src/tracking.cc:1347-1411: win 80*1.2^level)."""
+    (src/tracking.cc:1347-1411: win 80*1.2^level). rot_bins > 0 applies the
+    opt-in rotation-consistency histogram (MatchConfig.use_rotation_check)."""
     radius = radius_base * (1.2 ** kp_level1.astype(jnp.float32))
     pair = matching.window_mask(kp_uv1, kp_uv2, radius)
     idx, ok = matching.mutual_best_match(
         kp_desc1, kp_desc2, kp_valid1, kp_valid2, pair_mask=pair,
         max_dist=max_dist, ratio=0.9,
     )
+    if rot_bins > 0:
+        ok = matching.rotation_histogram_filter(
+            kp_angle1, kp_angle2, idx, ok, n_bins=rot_bins)
     ray1 = unproject(kp_uv1, fx, fy, cx, cy)
     ray2 = unproject(kp_uv2[idx], fx, fy, cx, cy)
     from ..geometry import triangulate as tri
@@ -154,6 +166,16 @@ class Tracker:
         self.n_tracked_last_kf = 0
         self.trajectory = []  # (timestamp, Tcw) per frame
         self.text_frontend = None  # wired by system when text is enabled
+        # device mesh for distributed windowed/global BA (SURVEY.md §2.4):
+        # when configured, _local_ba dispatches to the sharded multi-
+        # iteration LM loop instead of the single-device solver
+        self.mesh = None
+        if cfg.parallel.ba_devices > 1:
+            n = min(cfg.parallel.ba_devices, jax.device_count())
+            if n > 1:
+                from ..parallel import ba_sharded
+
+                self.mesh = ba_sharded.make_mesh(n)
 
     # ------------------------------------------------------------------
     def process(self, frame: Frame) -> bool:
@@ -187,6 +209,10 @@ class Tracker:
             pair_mask=pair & lvl & lvl0,
             max_dist=self.cfg.match.th_low, ratio=self.cfg.match.nn_ratio_init,
         )
+        if self.cfg.match.use_rotation_check:
+            ok = matching.rotation_histogram_filter(
+                jnp.asarray(f1.kp_angle), jnp.asarray(f2.kp_angle), idx, ok,
+                n_bins=self.cfg.match.histo_length)
         idx, ok = np.asarray(idx), np.asarray(ok)
         n_matches = int(ok.sum())
         if n_matches < 100:
@@ -336,32 +362,73 @@ class Tracker:
                 se3.compose(jnp.asarray(self.last_pose), se3.inverse(jnp.asarray(self.prev_pose)))
             )
 
-        # keyframe policy (CheckNewKeyFrame, src/tracking.cc:873-898):
-        # c1 = frame gap >= fps/2; c2 = current matches dropped below 90% of
-        # the nearest KF's well-observed point count (TrackedMapPoints with
-        # minObs 3, or 2 while the map has <= 2 KFs) while still > 15
-        gap = frame.frame_id - self.last_kf_frame_id
-        c1 = gap >= self.cfg.kf_min_gap
-        n_kfs = len(m.keyframes)
-        min_obs = 2 if n_kfs <= 2 else 3
-        neigh = m.nearest_kfs(frame.frame_id, 1)
-        n_ref = m.tracked_map_points(neigh[0], min_obs) if neigh else self.n_tracked_last_kf
-        c2 = (n_good < 0.9 * n_ref) and n_good > 15
-        if c1 or c2:
+        if self._check_new_keyframe(frame.frame_id, n_good):
             self._insert_keyframe(frame, good_pids, good_kps)
         return True
+
+    def _check_new_keyframe(self, frame_id: int, n_good: int) -> bool:
+        """KF policy (CheckNewKeyFrame, src/tracking.cc:873-898):
+        c1 = frame gap >= fps/2; c2 = current matches dropped below 90% of
+        the nearest KF's well-observed point count (TrackedMapPoints with
+        minObs 3, or 2 while the map has <= 2 KFs) while still > 15;
+        c3 = gap >= fps/2 + 5 (mMaxFramesMax, src/tracking.cc:51,888).
+        NOTE: in the reference c3 is literally subsumed by c1 (both compare
+        frame id against lastKF frame id, and mMaxFramesMax > mMaxFrames);
+        it is kept for line-for-line policy parity and as a backstop should
+        kf_min_gap ever be tuned above kf_max_gap."""
+        m = self.map
+        gap = frame_id - self.last_kf_frame_id
+        c1 = gap >= self.cfg.kf_min_gap
+        c3 = gap >= self.cfg.kf_max_gap
+        n_kfs = len(m.keyframes)
+        min_obs = 2 if n_kfs <= 2 else 3
+        neigh = m.nearest_kfs(frame_id, 1)
+        n_ref = m.tracked_map_points(neigh[0], min_obs) if neigh else self.n_tracked_last_kf
+        c2 = (n_good < 0.9 * n_ref) and n_good > 15
+        return c1 or c2 or c3
+
+    def _pose_chi2_gate(self) -> float:
+        """Scene chi2 gate for per-frame pose optim, with the sparse-text
+        relaxation (src/optimizer.cc:1238-1257: chi2Mono + 4 when the problem
+        holds < 50 text residuals). The reference counts rows in the current
+        problem; here the count comes from the text frontend's latest
+        refinement (one frame of lag — equivalent in steady state, and
+        exactly 0 under the noText ablation, where the reference would also
+        always relax)."""
+        scfg = self.cfg.solver
+        n_text_rows = (self.text_frontend.last_text_rows
+                       if self.text_frontend is not None else 0)
+        return (scfg.chi2_mono_pose if n_text_rows >= 50
+                else scfg.chi2_mono_pose_lowtext)
 
     def _match_map(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
         m = self.map
         cam = self.cfg.camera
         P = pad_tier(max(m.n_points, 1))
         pt_valid = _pad(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points], P, False)
+        # local-map cap (UpdateLocalKFs cap 80, src/tracking.cc:690-764):
+        # projecting the WHOLE pool subsumes TrackLocalMap for normal map
+        # sizes (PARITY.md), but once the map outgrows half its pool the
+        # candidate set narrows to points hosted in the local_map_kf_cap
+        # most-covisible KFs of the nearest KF (plus their loop edges)
+        if m.n_points > self.cfg.map.max_points // 2 and m.keyframes:
+            near = m.nearest_kfs(frame.frame_id, 1)[0]
+            K = len(m.keyframes)
+            order = np.argsort(-m.M1[near, :K])
+            local = set(order[: self.cfg.map.local_map_kf_cap].tolist()) | {near}
+            for e in m.keyframes[near].loop_edges:
+                local.add(e)
+            host_ok = np.isin(m.pt_host[: m.n_points], np.fromiter(local, np.int64))
+            pt_valid[: m.n_points] &= host_ok
         host = _pad(m.pt_host[: m.n_points], P, 0).clip(0)
         idx, ok, proj, z = search_from_3d(
             jnp.asarray(_pad(m.pt_ray[: m.n_points], P)),
             jnp.asarray(_pad(m.pt_rho[: m.n_points], P)),
             jnp.asarray(m.kf_pose[host]),
-            jnp.asarray(_pad(m.pt_desc[: m.n_points], P)),
+            # viewpoint-adaptive: nearest-KF observation descriptor, with the
+            # 2nd-nearest as the retry alternative (src/tracking.cc:1162,
+            # :1275-1345) — not the creation-time descriptor
+            jnp.asarray(_pad(m.pt_desc_latest[: m.n_points], P)),
             jnp.asarray(pt_valid),
             jnp.asarray(guess),
             jnp.asarray(frame.kp_uv),
@@ -371,6 +438,7 @@ class Tracker:
             self.cfg.match.search_radius_3d * radius_scale,
             self.cfg.match.th_high,
             cam.width, cam.height,
+            pt_desc_alt=jnp.asarray(_pad(m.pt_desc_second[: m.n_points], P)),
         )
         ok = np.asarray(ok)
         idx = np.asarray(idx)
@@ -382,6 +450,7 @@ class Tracker:
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
+        chi2_gate = self._pose_chi2_gate()
         O = pad_tier(max(len(pids), 1))
         host = m.pt_host[pids].clip(0)
         obs_valid = np.zeros(O, bool)
@@ -415,7 +484,7 @@ class Tracker:
         pose_j, inlier_j = fused_pose_optimize(
             prob, jnp.asarray(obs_valid), scfg.weight_scene,
             rounds=rounds, n_iters=self.cfg.solver.iters_per_level,
-            huber=scfg.huber_scene_pose, chi2_gate=scfg.chi2_mono_pose,
+            huber=scfg.huber_scene_pose, chi2_gate=chi2_gate,
         )
         pose = np.asarray(pose_j)
         inlier = np.asarray(inlier_j)
@@ -470,13 +539,16 @@ class Tracker:
         cur = m.keyframes[kid]
         v1 = prev.kp_valid & (prev.kp_point < 0)
         v2 = cur.kp_valid & (cur.kp_point < 0)
+        mcfg = self.cfg.match
         idx, good, P_w, z1 = _match_triangulate(
             jnp.asarray(prev.kp_uv), jnp.asarray(prev.kp_desc), jnp.asarray(v1), jnp.asarray(prev.kp_level),
             jnp.asarray(cur.kp_uv), jnp.asarray(cur.kp_desc), jnp.asarray(v2),
             jnp.asarray(m.kf_pose[prev.kid]), jnp.asarray(m.kf_pose[cur.kid]),
             cam.fx, cam.fy, cam.cx, cam.cy,
-            self.cfg.match.search_window_triangulate,
-            self.cfg.match.th_low, 9.0,
+            mcfg.search_window_triangulate,
+            mcfg.th_low, 9.0,
+            kp_angle1=jnp.asarray(prev.kp_angle), kp_angle2=jnp.asarray(cur.kp_angle),
+            rot_bins=mcfg.histo_length if mcfg.use_rotation_check else 0,
         )
         idx, good = np.asarray(idx), np.asarray(good)
         P_host = np.asarray(se3.apply(jnp.asarray(m.kf_pose[prev.kid]), jnp.asarray(P_w)))
@@ -493,9 +565,36 @@ class Tracker:
         if new_pids:
             m.update_covis_on_obs(cur.kid, np.asarray(new_pids))
 
-    def _local_ba(self, window_kids, fix, init_ba: bool = False, scene_only: bool = False):
+    def _solve(self, prob: ba.BAProblem, n_iters: int, huber_scene: float,
+               huber_text: float = 3.0, text_pair_feat: int = 0) -> ba.LMState:
+        """Dispatch a windowed/global BA solve: single-device solve_ba, or the
+        sharded multi-iteration LM loop (parallel.ba_sharded.solve_ba_sharded,
+        identical semantics) when a device mesh is configured. Both consume
+        the config LM damping schedule (SolverConfig.lm_*)."""
+        scfg = self.cfg.solver
+        kw = dict(
+            n_iters=n_iters, huber_scene=huber_scene, huber_text=huber_text,
+            lam0=scfg.lm_lambda_init, lam_up=scfg.lm_lambda_up,
+            lam_down=scfg.lm_lambda_down, lam_min=scfg.lm_min_lambda,
+            lam_max=scfg.lm_max_lambda,
+        )
+        if self.mesh is not None:
+            from ..parallel import ba_sharded
+
+            return ba_sharded.solve_ba_sharded(prob, self.mesh, **kw)
+        return ba.solve_ba(prob, text_pair_feat=text_pair_feat, **kw)
+
+    def _local_ba(self, window_kids, fix, init_ba: bool = False,
+                  scene_only: bool = False, landmark_only: bool = False):
         """Windowed joint BA; hosts outside the window are frozen
-        (src/optimizer.cc:1394-1430)."""
+        (src/optimizer.cc:1394-1430).
+
+        landmark_only runs the OptimizeLandmarker schedule faithfully
+        (src/optimizer.cc:456-562): all poses fixed, levels 3..0,
+        iters_landmark (50) per level, Huber huber_rho for rho rows and
+        huber_theta for theta rows, scene gate chi2 18; the text gate is
+        coded but disabled unless SolverConfig.text_outlier_landmark
+        (TEXTOutlier=false, src/optimizer.cc:1861)."""
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
@@ -518,6 +617,10 @@ class Tracker:
             sel, pids = sel[keep], pids[keep]
             if len(sel) == 0:
                 continue
+            if len(sel) > self.cfg.map.max_obs_per_kf:
+                # per-KF residual budget (bounds the padded batch tier)
+                sel = sel[: self.cfg.map.max_obs_per_kf]
+                pids = pids[: self.cfg.map.max_obs_per_kf]
             hosts = m.pt_host[pids]
             tgt_a.append(np.full(len(sel), slot_arr[kid], np.int32))
             host_a.append(slot_arr[hosts])
@@ -584,11 +687,16 @@ class Tracker:
             scene=scene, text=None, images=None,
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
         )
-        n_it = scfg.iters_per_level * (3 if init_ba else 2)
-        huber = scfg.huber_scene_init if init_ba else scfg.huber_scene_pose
+        if landmark_only:
+            # its=50 per level, RhoScene Huber sqrt(5.991) (src/optimizer.cc:534-537,1908)
+            n_it = scfg.iters_landmark
+            huber = scfg.huber_rho
+        else:
+            n_it = scfg.iters_per_level * (3 if init_ba else 2)
+            huber = scfg.huber_scene_init if init_ba else scfg.huber_scene_pose
 
         if text_part is None:
-            st = ba.solve_ba(prob, n_iters=n_it, huber_scene=huber)
+            st = self._solve(prob, n_iters=n_it, huber_scene=huber)
         else:
             pairs, tids, tid_to_lm = text_part
             Tn = pad_tier(len(tids), minimum=8)
@@ -600,12 +708,13 @@ class Tracker:
             ]
             cur = prob
             st = None
-            levels = (self.cfg.pyramid.init_ba_levels if init_ba
+            levels = (self.cfg.pyramid.landmark_levels if landmark_only
+                      else self.cfg.pyramid.init_ba_levels if init_ba
                       else self.cfg.pyramid.ba_levels)
             for level in levels:
                 imgs, shape = tf.gather_level_images(window_kids, level)
                 if imgs is None:
-                    st = ba.solve_ba(cur, n_iters=n_it, huber_scene=huber)
+                    st = self._solve(cur, n_iters=n_it, huber_scene=huber)
                     break
                 imgs_p = np.zeros((K, shape[0], shape[1], 3), np.float32)
                 imgs_p[: imgs.shape[0]] = imgs
@@ -628,12 +737,20 @@ class Tracker:
                     theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free),
                     text=tobs, images=jnp.asarray(imgs_p),
                 )
-                st = ba.solve_ba(cur, n_iters=scfg.iters_per_level,
-                                 huber_scene=huber, huber_text=scfg.huber_text,
-                                 text_pair_feat=self.cfg.text.max_features_per_level)
+                st = self._solve(
+                    cur,
+                    n_iters=scfg.iters_landmark if landmark_only else scfg.iters_per_level,
+                    huber_scene=huber,
+                    # thetaText rows use Huber 2.0 in PyrLandmarkers
+                    # (src/optimizer.cc:1966) vs 3.0 in PyrBA (:1504)
+                    huber_text=scfg.huber_theta if landmark_only else scfg.huber_text,
+                    text_pair_feat=self.cfg.text.max_features_per_level)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
                 theta = np.asarray(st.theta)
-                self._gate_text_features(cur, pairs, level)
+                if not landmark_only or scfg.text_outlier_landmark:
+                    self._gate_text_features(
+                        cur, pairs, level,
+                        gate=scfg.chi2_text_landmark if landmark_only else None)
             # write back thetas of in-window hosts
             for i, t in enumerate(tids):
                 if theta_free[i] and np.isfinite(theta[i]).all():
@@ -651,8 +768,8 @@ class Tracker:
         chi2_px = np.asarray(chi2)[: len(tgt_l)] / (scfg.weight_scene**2 if not init_ba else 1.0)
         # global BA / landmark-only passes (loop closing) gate at chi2 18,
         # the windowed pass at 12.25 (src/optimizer.cc:1751,:1992 vs :1238)
-        landmark_only = len(fix) == len(window_kids)
-        gate = (scfg.chi2_mono_global if (scene_only or landmark_only)
+        all_fixed = landmark_only or len(fix) == len(window_kids)
+        gate = (scfg.chi2_mono_global if (scene_only or all_fixed)
                 else scfg.chi2_mono_pose)
         bad = chi2_px > gate
         bad_idx = np.nonzero(bad)[0]
@@ -661,12 +778,13 @@ class Tracker:
             m.keyframes[kid].obs_good[kp_of_obs[rows]] = False
         np.add.at(m.pt_bad_obs, point_l[bad_idx], 1)
 
-    def _gate_text_features(self, prob, pairs, level: int):
+    def _gate_text_features(self, prob, pairs, level: int, gate=None):
         """Per-(KF, feature) text chi2 gate after one BA level
         (src/optimizer.cc:1259-1303 / :1618-1686): a feature observation is
         bad when any of its 8 normalized sample errors exceeds
-        chi2Text[level]; the whole (KF, object) observation goes bad when
-        more than text_bad_ratio (0.99) of its features are bad."""
+        chi2Text[level] (or the flat `gate` override — chi2_text_landmark in
+        the landmarker schedule); the whole (KF, object) observation goes bad
+        when more than text_bad_ratio (0.99) of its features are bad."""
         m = self.map
         scfg = self.cfg.solver
         F = self.cfg.text.max_features_per_level
@@ -677,7 +795,7 @@ class Tracker:
         O_real = n_pairs * F
         err = np.asarray(err)[:O_real].reshape(n_pairs, F, 8)
         ok = np.asarray(ok)[:O_real].reshape(n_pairs, F, 8)
-        chi = scfg.chi2_text_levels[level]
+        chi = scfg.chi2_text_levels[level] if gate is None else gate
         used = ok.any(-1)  # features actually contributing at this level
         bad_feat = ((err > chi) & ok).any(-1) & used  # [n_pairs, F]
         for i, (tid, kid) in enumerate(zip(pairs["tids"], pairs["target_kids"])):

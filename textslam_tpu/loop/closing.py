@@ -51,38 +51,101 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def run(self, kid: int) -> bool:
+        """loopClosing::Run (src/loopClosing.cc:54-117): adaptive word
+        threshold -> detect -> Sim3 over ALL candidates keeping the best ->
+        accept gates -> correct."""
         m = self.map
         lcfg = self.cfg.loop
         if len(m.keyframes) < lcfg.min_kfs_before_loop:
             return False
         if kid - self.last_loop_kid < lcfg.min_kfs_between_loops:
             return False
-        candidates = self.detect(kid)
+        thresh, connects, enough = self._thresh_words(kid)
+        if not enough:
+            return False
+        # ThreshMatchWordsNum = max(floor(0.6 * thresh), per-exp minimum)
+        # (src/loopClosing.cc:78-79)
+        min_words = max(int(np.floor(lcfg.thresh_words_scale * thresh)),
+                        self.cfg.loop_thmin_match_words)
+        candidates = self.detect(kid, min_words, connects)
+        if not candidates:
+            return False
+
+        # ComputeSim3 evaluates every candidate and keeps the best by
+        # refined inlier count (src/loopClosing.cc:306-377)
+        best = None
+        th_scene_sel = self.cfg.loop_th_inliers_scene
         for cand in candidates:
             res = self.compute_sim3(kid, cand)
             if res is None:
                 continue
-            S_cl, pairs = res
-            self.correct(kid, cand, S_cl, pairs)
-            self.last_loop_kid = kid
-            self.closed_loops.append((kid, cand))
-            m.keyframes[kid].loop_edges.append(cand)
-            m.keyframes[cand].loop_edges.append(kid)
-            return True
-        return False
+            S_cl, pairs, n_inl, n_scene = res
+            if th_scene_sel > 0 and n_scene < th_scene_sel:
+                continue  # Flag_Better requires nInliers_Scene >= Th (:354)
+            if best is None or n_inl > best[2]:
+                best = (cand, S_cl, n_inl, n_scene, pairs)
+        if best is None:
+            return False
+        cand, S_cl, n_inl, n_scene, pairs = best
+        # final accept: MaxInlierNum > 25, plus the outdoor scene gate
+        # (src/loopClosing.cc:93-106)
+        if n_inl <= lcfg.min_inliers:
+            return False
+        th_scene_acc = self.cfg.loop_th_max_inlier_scene
+        if th_scene_acc > 0 and n_scene < th_scene_acc:
+            return False
+        m.keyframes[kid].loop_edges.append(cand)
+        m.keyframes[cand].loop_edges.append(kid)
+        self.correct(kid, cand, S_cl, pairs)
+        self.last_loop_kid = kid
+        self.closed_loops.append((kid, cand))
+        return True
+
+    def _thresh_words(self, kid: int):
+        """GetThreshWordsNum (src/loopClosing.cc:596-667): the matched-words
+        threshold is the M2 (shared-text-object) count of the 10th most
+        M1-covisible KF; needs > 10 covisible KFs or no loop is attempted.
+        Also builds vConnects: the 2-hop covisible neighborhood that is NOT
+        directly covisible with the current KF (used as an extra vote
+        exclusion when DoubleCheck_Visible)."""
+        m = self.map
+        K = len(m.keyframes)
+        n_top = self.cfg.loop.num_covis_for_thresh
+        order, weights = m.covisible_kfs_sorted(kid)
+        if len(order) <= n_top:
+            return -1, set(), False
+        top = order[:n_top]
+        vnums = m.M2[top, kid]
+        thresh = int(vnums[-1])  # UseThresh==0: last of the top-10 (:662)
+
+        # vConnects: union over covisible KFs of THEIR covisible KFs, kept
+        # only when all of M1/M2/M3 vs current are zero (:620-640,:658)
+        direct = ((m.M1[kid, :K] > 0) | (m.M2[kid, :K] > 0)
+                  | (m.M3[kid, :K] > 0))
+        reach = (m.M1[order][:, :K] > 0).any(axis=0)
+        connects = set(np.nonzero(reach & ~direct)[0].tolist()) - {kid}
+        return thresh, connects, True
 
     # ------------------------------------------------------------------
-    def detect(self, kid: int) -> List[int]:
-        """Text-string loop candidates (DetectLoop)."""
+    def detect(self, kid: int, min_words: int, connects=frozenset()) -> List[int]:
+        """Text-string loop candidates (DetectLoop, src/loopClosing.cc:
+        119-304), vectorized: one batched Levenshtein for the whole [Q, T]
+        pair matrix, then matrix voting instead of the triple loop."""
         m = self.map
         lcfg = self.cfg.loop
-        cur_tids = [t for (k, t) in m.tx_obs if k == kid
-                    and m.tx_valid[t] and (m.tx_string[t] or "").strip() not in STOPWORDS]
+        K = len(m.keyframes)
+
+        def usable(s):
+            s = (s or "").strip()
+            return s not in STOPWORDS and "#" not in s  # mean.find("#") skip (:160)
+
+        cur_tids = [t for (t, _) in m.text_obs_of_kf(kid)
+                    if m.tx_valid[t] and usable(m.tx_string[t])]
         if not cur_tids:
             return []
         all_tids = [t for t in range(m.n_texts)
                     if m.tx_valid[t] and m.tx_state[t] != TEXT_BAD
-                    and (m.tx_string[t] or "").strip() not in STOPWORDS]
+                    and usable(m.tx_string[t])]
         if not all_tids:
             return []
         L = 16
@@ -92,41 +155,49 @@ class LoopCloser:
             jnp.asarray(qa), jnp.asarray(qlen), jnp.asarray(ta), jnp.asarray(tlen))
         scores = np.asarray(levenshtein.similarity_scores(d, jnp.asarray(qlen), jnp.asarray(tlen)))
 
-        # covisibility exclusion set (vConnects): KFs sharing any landmark
-        K = len(m.keyframes)
-        excl = set(int(c) for c in m.covisible_kfs(kid))
-        excl.add(kid)
-        # also exclude temporal neighbours
-        for k in range(max(0, kid - 3), min(K, kid + 4)):
-            excl.add(k)
+        Q, T = scores.shape
+        all_arr = np.asarray(all_tids)
+        # self-matches excluded (:65)
+        self_mask = all_arr[None, :] == np.asarray(cur_tids)[:, None]
+        scores = np.where(self_mask, -1.0, scores)
+        best = scores.max(axis=1)  # [Q]
+        # per-query keep threshold (:83-95): skip when best < thMinStrScore;
+        # exact matches (1.0) only match exact; else max(2/3 best, ScoreThresh_min)
+        keep = np.where(best >= 1.0, 1.0,
+                        np.maximum(best * (2.0 / 3.0), self.cfg.loop_score_thresh))
+        keep = np.where(best < lcfg.min_str_score, np.inf, keep)
+        match = scores >= keep[:, None]  # [Q, T]
 
-        thresh_min = self.cfg.loop_score_thresh
-        votes = np.zeros(K, np.int32)
-        for qi, cur_t in enumerate(cur_tids):
-            best = scores[qi].max()
-            keep = max(2.0 / 3.0 * best, thresh_min)
-            for ti, cand_t in enumerate(all_tids):
-                if cand_t == cur_t or scores[qi, ti] < keep:
-                    continue
-                for okf in m.kfs_observing_text(cand_t):
-                    if okf not in excl:
-                        votes[okf] += 1
-        min_words = self._min_matched_words(kid)
-        order = np.argsort(-votes)
-        out = [int(k) for k in order[: lcfg.top_candidates] if votes[k] >= min_words]
+        # text -> observing-KF incidence over eligible KFs
+        eligible = np.ones(K, bool)
+        eligible[kid] = False
+        eligible &= ~((m.M1[kid, :K] > 0) | (m.M2[kid, :K] > 0) | (m.M3[kid, :K] > 0))
+        if self.cfg.loop_double_check_visible and connects:
+            eligible[np.asarray(sorted(connects), int)] = False
+        inc = np.zeros((T, K), bool)
+        for ti, t in enumerate(all_tids):
+            for okf in m.kfs_observing_text(t):
+                if okf < K and eligible[okf]:
+                    inc[ti, okf] = True
+        # votes: +1 per (query, matched text) pair per observing KF (:247-252)
+        votes = match.sum(axis=0).astype(np.int64) @ inc  # [K]
+        # distinct matched objects per KF (vKFsMathedObjs size, :255-259)
+        distinct = (match.any(axis=0)[:, None] & inc).sum(axis=0)  # [K]
+
+        # selection (:262-300): sorted by votes desc, stop when votes <=
+        # MinMatchedWords; skip when distinct objects <= MinMatchedWords;
+        # top-10 cap; M1-covisible already excluded via eligibility
+        order = np.argsort(-votes, kind="stable")
+        out = []
+        for k in order:
+            if votes[k] <= min_words:
+                break
+            if distinct[k] <= min_words:
+                continue
+            if len(out) >= lcfg.top_candidates:
+                break
+            out.append(int(k))
         return out
-
-    def _min_matched_words(self, kid: int) -> int:
-        """Adaptive word-count threshold from covisible text sharing
-        (GetThreshWordsNum, src/loopClosing.cc:596-667): require at least as
-        many matched words as a typical covisible KF shares, floored at 1."""
-        m = self.map
-        K = len(m.keyframes)
-        covis = m.M2[kid, :K]
-        shared = covis[covis > 0]
-        if len(shared) == 0:
-            return 1
-        return max(1, int(round(0.5 * float(np.median(shared)))))
 
     # ------------------------------------------------------------------
     def compute_sim3(self, kid: int, cand: int):
@@ -228,7 +299,8 @@ class LoopCloser:
             cam.fx, cam.fy, cam.cx, cam.cy,
             err2_thresh=lcfg.sim3_inlier_err2,
         )
-        if int(n_inl) < 20:
+        # Sim3Solver RANSAC minimum (SetRansacParameters(0.99, 20, 300))
+        if int(n_inl) < lcfg.sim3_min_inliers:
             return None
         S_ref, inl2 = sim3_opt.refine_sim3(
             S_cl,
@@ -239,20 +311,14 @@ class LoopCloser:
             err_thresh=lcfg.sim3_refine_err,
         )
         n2 = int(inl2.sum())
-        if n2 < lcfg.min_inliers:
-            return None
         inl_np = np.asarray(inl2)[: len(rows)]
-        # outdoor sequences additionally require enough map-point-backed
-        # (non-text) inliers (src/loopClosing.cc:92-106)
-        from ..config import Experiment
-
-        if self.cfg.experiment == Experiment.OUTDOOR:
-            scene_inl = sum(
-                1 for r, keep in zip(rows, inl_np)
-                if keep and r < len(sel_c) and idx[r] < len(sel_l)
-            )
-            if scene_inl < lcfg.min_scene_inliers_outdoor:
-                return None
+        # scene-backed inlier count (both sides map-point-backed): the
+        # nInliers_Scene of MatchMore (src/loopClosing.cc:347,1398-1489) —
+        # here the combined matcher already included whole-KF scene features
+        scene_inl = sum(
+            1 for r, keep in zip(rows, inl_np)
+            if keep and r < len(sel_c) and idx[r] < len(sel_l)
+        )
         # landmark fusion pairs: both sides map-point-backed
         fuse_pts, fuse_txts = [], []
         for r, keep in zip(rows, inl_np):
@@ -266,11 +332,15 @@ class LoopCloser:
                 tl = ttid_l[li - len(sel_l)]
                 if tc != tl:
                     fuse_txts.append((int(tc), int(tl)))
-        return np.asarray(S_ref), {"points": fuse_pts, "texts": fuse_txts}
+        return (np.asarray(S_ref), {"points": fuse_pts, "texts": fuse_txts},
+                n2, scene_inl)
 
     # ------------------------------------------------------------------
     def correct(self, kid: int, loop_kid: int, S_cl: np.ndarray, pairs):
-        """LoopCorrect: propagate correction, fuse, pose-graph, refine."""
+        """LoopCorrect (src/loopClosing.cc:379-593): propagate the measured
+        Sim3 to the covisible window, snapshot NormConnections, fuse
+        landmarks, SearchAndFuse, build LoopConnections from POST-fusion
+        covisibility, Sim3 pose graph, then global + landmark-only BA."""
         m = self.map
         K = len(m.keyframes)
 
@@ -278,33 +348,55 @@ class LoopCloser:
         S_lw = np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[loop_kid])))
         S_cw_corr = np.asarray(sim3.compose(jnp.asarray(S_cl), jnp.asarray(S_lw)))
 
-        # propagate to the covisible window of kid (Sic ∘ Scw)
-        window = set(int(c) for c in m.covisible_kfs(kid)) | {kid}
+        # a) propagate to the M1-covisible window of kid: Siw = Sic ∘ Scw
+        # (src/loopClosing.cc:394-410 uses GetCovisibleKFs_All = M1 list)
+        win_ids, _ = m.covisible_kfs_sorted(kid)
+        window = {int(w) for w in win_ids} | {kid}
         window = {w for w in window if w > loop_kid}  # don't drag the old side
         T_cw = jnp.asarray(m.kf_pose[kid])
         corrected = {}
         for w in window:
             S_ic = sim3.from_se3(se3.relative(jnp.asarray(m.kf_pose[w]), T_cw))
             corrected[w] = np.asarray(sim3.compose(S_ic, jnp.asarray(S_cw_corr)))
+        corrected[kid] = S_cw_corr
 
-        # landmark fusion (keep the loop-side landmark — it is in the trusted
-        # frame; mapPts::Replace semantics)
+        # b) NormConnections snapshot BEFORE fusion (:418-425): every KF's
+        # PREVIOUS M1-covisible set
+        norm_conn = {j: m.covisible_prev(j).tolist() for j in range(K)}
+        # the loop KF's covisible set (vLoopKFConnectsRaw, :428-429),
+        # also pre-fusion
+        loop_covis = set(int(c) for c in m.covisible_kfs_sorted(loop_kid)[0])
+
+        # c) landmark fusion (keep the loop-side landmark — it is in the
+        # trusted frame; mapPts::Replace semantics)
         for (pc, pl) in pairs["points"]:
             if pc != pl and m.pt_valid[pc] and m.pt_valid[pl]:
                 m.replace_point(pc, pl)
         for (tc, tl) in pairs["texts"]:
             if m.tx_valid[tc] and m.tx_valid[tl]:
                 m.replace_text(tc, tl)
+        # d) SearchAndFuse BEFORE the pose graph (reference order: the extra
+        # fusions it finds feed the post-fusion covisibility that defines
+        # LoopConnections, :501-511) — projections run under the corrected
+        # window Sim3s ([R, t/s]), matching the vConnectKFs argument
+        saved = {w: m.kf_pose[w].copy() for w in window}
+        for w in window:
+            q, t, s = corrected[w][:4], corrected[w][4:7], corrected[w][7]
+            m.kf_pose[w] = np.concatenate([q, t / max(float(s), 1e-9)]).astype(np.float32)
+        self._search_and_fuse(kid, loop_kid, window)
+        for w, p in saved.items():
+            m.kf_pose[w] = p
         m.rebuild_covis_m1()
         m.rebuild_covis_m23()
 
-        # ---------------- pose graph ----------------
-        nodes = np.zeros((K, 8), np.float32)
-        for k in range(K):
-            if k in corrected:
-                nodes[k] = corrected[k]
-            else:
-                nodes[k] = np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[k])))
+        # ---------------- pose graph (OptimizeLoop, src/optimizer.cc:734-957)
+        # nodes: pre poses at s=1, except corrected Siw for the window
+        pre = np.stack([np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[k]))) for k in range(K)])
+        nodes = pre.copy()
+        ini = pre.copy()  # vScwIni: corrected values participate in loop-edge meas
+        for w, S in corrected.items():
+            nodes[w] = S
+            ini[w] = S
         fixed = np.zeros(K, bool)
         fixed[0] = True
         if K > 1:
@@ -312,25 +404,41 @@ class LoopCloser:
         fixed[loop_kid] = True
 
         edge_a, edge_b, meas, weight = [], [], [], []
-        # sequential + covisibility edges with pre-correction measurements
-        pre = np.stack([np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[k]))) for k in range(K)])
-        for b in range(1, K):
-            a = b - 1
-            edge_a.append(a); edge_b.append(b)
-            meas.append(np.asarray(sim3.compose(jnp.asarray(pre[b]), sim3.inverse(jnp.asarray(pre[a])))))
-            weight.append(1.0)
-        Kc = min(K, self.cfg.map.max_keyframes)
-        covis = m.M1[:Kc, :Kc] + 5 * m.M2[:Kc, :Kc]
-        for a in range(K):
-            for b in range(a + 2, K):
-                if covis[a, b] >= 30:
-                    edge_a.append(a); edge_b.append(b)
-                    meas.append(np.asarray(sim3.compose(jnp.asarray(pre[b]), sim3.inverse(jnp.asarray(pre[a])))))
-                    weight.append(1.0)
-        # loop edge with the measured Sim3
-        edge_a.append(loop_kid); edge_b.append(kid)
-        meas.append(S_cl.astype(np.float32))
-        weight.append(float(len(edge_a)))  # strong anchor
+
+        def add_edge(i, j, Sji):
+            # our PoseGraph edge (a, b) measures S_b ∘ S_a^{-1}; the
+            # reference residual over (pose_i, pose_j) measures Sji
+            edge_a.append(i)
+            edge_b.append(j)
+            meas.append(np.asarray(Sji).astype(np.float32))
+            weight.append(1.0)  # all edges unit weight in the reference
+
+        # normal edges: for every KF i, each j in its pre-fusion previous
+        # covisible set, measured from PRE poses at s=1 (:794-826)
+        for i in range(K):
+            for j in norm_conn[i]:
+                add_edge(i, j, np.asarray(sim3.compose(
+                    jnp.asarray(pre[j]), sim3.inverse(jnp.asarray(pre[i])))))
+        # loop edges: for every corrected-window KF j (and the current KF),
+        # each i in its POST-fusion previous covisible set that is also
+        # covisible with the loop KF, measured from the vScwIni values
+        # (:512-570, :828-860). Note the direct (loop_kid, kid) pair is NOT
+        # implied — the diagonal of M1 is zero so loop_kid is not in its own
+        # covisible set; constraints flow through the loop KF's neighbours.
+        n_loop_edges = 0
+        for j in sorted(window | {kid}):
+            for i in m.covisible_prev(j):
+                i = int(i)
+                if i not in loop_covis:
+                    continue
+                add_edge(i, j, np.asarray(sim3.compose(
+                    jnp.asarray(ini[j]), sim3.inverse(jnp.asarray(ini[i])))))
+                n_loop_edges += 1
+        if n_loop_edges == 0:
+            # deviation guard (documented): with no post-fusion covisibility
+            # between window and old side the reference graph would carry no
+            # loop constraint at all; anchor the measured Sim3 directly
+            add_edge(loop_kid, kid, S_cl)
 
         E = len(edge_a)
         graph = sim3_opt.PoseGraph(
@@ -363,9 +471,7 @@ class LoopCloser:
                 if h < K:
                     m.tx_theta[tid] = m.tx_theta[tid] * scales[h]
 
-        # SearchAndFuse (src/loopClosing.cc:1045-1385): project loop-side
-        # landmarks into the corrected window KFs, descriptor-match, fuse
-        self._search_and_fuse(kid, loop_kid, window)
+        # (SearchAndFuse already ran before the pose graph, reference order)
 
         # ---------------- global refinement ----------------
         if self.tracker is not None:
@@ -373,8 +479,11 @@ class LoopCloser:
             # scene-only global BA (reference GlobalBA has FLAG_TEXT=false)
             self.tracker._local_ba(window_kids=all_kids, fix=[0, 1][: min(2, K)],
                                    scene_only=True)
-            # landmark-only refinement (OptimizeLandmarker)
-            self.tracker._local_ba(window_kids=all_kids, fix=all_kids)
+            # landmark-only refinement (OptimizeLandmarker schedule:
+            # levels 3..0, its=50, huber_rho/huber_theta, scene gate 18,
+            # text gate disabled — src/optimizer.cc:456-562,1853-2168)
+            self.tracker._local_ba(window_kids=all_kids, fix=all_kids,
+                                   landmark_only=True)
         m.rebuild_covis_m1()
         m.rebuild_covis_m23()
 
@@ -403,12 +512,13 @@ class LoopCloser:
                 jnp.asarray(_pad(m.pt_ray[lp], P)),
                 jnp.asarray(_pad(m.pt_rho[lp], P)),
                 jnp.asarray(_pad_pose(m.kf_pose[host], P)),
-                jnp.asarray(_pad(m.pt_desc[lp], P)),
+                jnp.asarray(_pad(m.pt_desc_latest[lp], P)),
                 jnp.asarray(valid),
                 jnp.asarray(m.kf_pose[w]),
                 jnp.asarray(kf.kp_uv), jnp.asarray(kf.kp_desc), jnp.asarray(kf.kp_valid),
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 5.0, self.cfg.match.th_low, cam.width, cam.height,
+                pt_desc_alt=jnp.asarray(_pad(m.pt_desc_second[lp], P)),
             )
             idx, ok = np.asarray(idx), np.asarray(ok)
             for r in np.nonzero(ok[: len(lp)])[0]:

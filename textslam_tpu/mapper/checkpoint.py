@@ -163,9 +163,20 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
         # restored keyframe observation registries (the same reduction
         # rebuild_covis_m1 uses) — a zeroed pt_n_obs would silently disable
         # the KF-policy c2 condition (tracked_map_points needs n_obs>=minObs)
+        # count REGISTERED observations (kp_point set), not just good ones:
+        # the live counter increments at registration and never decrements
+        # when BA gating later flags an observation bad (obs_good=False while
+        # the registry entry stays), so the recompute must not filter either
         for kf in m.keyframes:
-            pids = kf.kp_point[(kf.kp_point >= 0) & kf.obs_good]
+            pids = kf.kp_point[kf.kp_point >= 0]
             np.add.at(m.pt_n_obs, np.unique(pids), 1)
+    # derived indexes (never serialized): per-point observation registry and
+    # the per-KF/per-object text observation indexes
+    m.rebuild_text_obs_index()
+    for kf in m.keyframes:
+        sel = np.nonzero(kf.kp_point >= 0)[0]
+        for i in sel:
+            m.pt_obs.setdefault(int(kf.kp_point[i]), {})[kf.kid] = int(i)
     if "pt_desc_latest" not in z:
         m.pt_desc_latest[: m.n_points] = m.pt_desc[: m.n_points]
         m.pt_desc_second[: m.n_points] = m.pt_desc[: m.n_points]

@@ -21,8 +21,13 @@ import numpy as np
 def encode(words, max_len: int):
     """Encode python strings as padded codepoint arrays [N, max_len] + lengths.
 
-    Codepoints (not bytes): the reference iterates UTF-8-aware characters for
-    CJK strings (src/tool.cc:163-215)."""
+    Codepoints, NOT bytes — a documented improvement over the reference:
+    tool::LevenshteinDist (src/tool.cc:264-299) operates on std::string
+    BYTES, so one CJK character difference costs up to 3 byte-edits and the
+    (maxlen-dist)/maxlen score is computed over byte lengths; per-character
+    distances score CJK strings on the same scale as Latin ones. (The
+    reference's UTF-8 awareness is only in language CLASSIFICATION,
+    src/tool.cc:163-215.)"""
     N = len(words)
     arr = np.zeros((N, max_len), np.int32)
     lens = np.zeros(N, np.int32)

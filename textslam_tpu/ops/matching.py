@@ -96,6 +96,7 @@ def mutual_best_match(
     pair_mask: jnp.ndarray | None = None,
     max_dist: int = 50,
     ratio: float | None = None,
+    d1_alt: jnp.ndarray | None = None,
 ):
     """One-shot matcher: best2 along rows + uniqueness along columns.
 
@@ -104,11 +105,19 @@ def mutual_best_match(
     distance (the reference's "already matched" checks, e.g.
     src/tracking.cc:1180-1230, serialized this; argmin over columns is the
     parallel equivalent).
+
+    d1_alt supplies a second descriptor per row, matched as min(d, d_alt) —
+    the batched form of the reference's nearest / 2nd-nearest observation
+    descriptor retry (SearchFrom3D uses the nearest-KF descriptor,
+    src/tracking.cc:1162; SearchFrom3DAdd retries with the 2nd nearest,
+    :1275-1345).
     """
     mask = valid1[:, None] & valid2[None, :]
     if pair_mask is not None:
         mask = mask & pair_mask
     dist = hamming_matrix(d1, d2)
+    if d1_alt is not None:
+        dist = jnp.minimum(dist, hamming_matrix(d1_alt, d2))
     idx2, best_d, second_d = masked_best2(dist, mask)
     ok = best_d <= max_dist
     if ratio is not None:

@@ -230,6 +230,61 @@ def extract_orb(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_keep", "cell"))
+def extract_box_orb(
+    img: jnp.ndarray,
+    quads: jnp.ndarray,
+    quads_valid: jnp.ndarray,
+    n_keep: int = 256,
+    cell: int = 8,
+    threshold: float = 7.0,
+    shrink: float = 3.0,
+) -> Keypoints:
+    """Text-box feature densification + boundary pruning in one pass.
+
+    The reference runs a second full ORB per text box on the box-masked image
+    (FeatExtracText, src/frame.cc:232,334-356) and then deletes features
+    within 3 px of the box boundary (BoundFeatDele_T with WinText = -3,
+    src/frame.cc:239-244, src/tool.cc:456-509) — these keypoints feed the
+    loop-closure Sim3 text matching (SearchMatch_Text,
+    src/loopClosing.cc:738-821). Here both steps fuse into one masked
+    selection: the level-0 FAST score map is zeroed outside the union of the
+    SHRUNK detection quads (corners pulled `shrink` px toward the centroid —
+    the boundary prune), then a per-cell-boosted top-k picks up to n_keep
+    in-box corners, with IC-angle + rBRIEF like the main pass.
+
+    quads [D, 4, 2] level-0 px with validity [D]; returns a Keypoints pool of
+    size n_keep (level 0 only — boxes are small; the reference's per-box
+    pyramid keypoints above level 0 are rare and only ever used at level 0
+    by the Sim3 matcher).
+    """
+    from . import rasterize
+
+    H, W = img.shape
+    smap = fast.nms3(fast.fast_score_map(img, threshold))
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    b = HALF_PATCH + 2
+    inb = (ys >= b) & (ys < H - b) & (xs >= b) & (xs < W - b)
+
+    c = quads.mean(axis=1, keepdims=True)  # [D, 1, 2]
+    d = c - quads
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-6)
+    qs = quads + shrink * dn  # corners pulled toward the centroid
+    masks = jax.vmap(lambda q: rasterize.quad_mask(q, H, W))(qs)  # [D, H, W]
+    inbox = (masks & quads_valid[:, None, None]).any(axis=0)
+    smap = jnp.where(inbox & inb, smap, 0.0)
+
+    uv, sc, val = select_keypoints(smap, n_keep, cell=cell)
+    ang = ic_angle(img, uv)
+    desc = brief_descriptors(gauss_blur7(img), uv, ang)
+    return Keypoints(
+        uv=uv, uv_level=uv,
+        level=jnp.zeros((n_keep,), dtype=jnp.int32),
+        angle=ang, score=sc, desc=desc, valid=val,
+    )
+
+
 def pad_keypoints(kp: Keypoints, capacity: int) -> Keypoints:
     """Pad/truncate a Keypoints pool to a fixed capacity."""
     n = kp.uv.shape[0]

@@ -289,6 +289,77 @@ def sharded_text_normal_eqs(problem: ba.BAProblem, mesh: Mesh, huber: float):
     return assemble(text, problem.poses, problem.theta, problem.images)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_iters", "huber_scene", "huber_text", "lam0",
+                     "lam_up", "lam_down", "lam_min", "lam_max"),
+)
+def _solve_ba_sharded_jit(problem, mesh, n_iters, huber_scene, huber_text,
+                          lam0, lam_up, lam_down, lam_min, lam_max):
+    def build(prob):
+        Wr = Hr = br = Wt = Ht = bt = None
+        K = prob.poses.shape[0]
+        n = 6 * (K + 1)
+        Hcc = jnp.zeros((n, n))
+        bc = jnp.zeros((n,))
+        cost = jnp.float32(0.0)
+        if prob.scene is not None:
+            Hcc, bc, Wr, Hr, br, cost_s = sharded_scene_normal_eqs(
+                prob, mesh, huber_scene)
+            cost = cost + cost_s
+        if prob.text is not None:
+            H2, b2, Wt, Ht, bt, cost_t = sharded_text_normal_eqs(
+                prob, mesh, huber_text)
+            Hcc = Hcc + H2
+            bc = bc + b2
+            cost = cost + cost_t
+        return Hcc, bc, Wr, Hr, br, Wt, Ht, bt, cost
+
+    with jax.default_matmul_precision("highest"):
+        return ba._solve_ba_body(
+            problem, n_iters, huber_scene, huber_text, lam0, lam_up, lam_down,
+            0, lam_min=lam_min, lam_max=lam_max, build_override=build)
+
+
+def solve_ba_sharded(
+    problem: ba.BAProblem,
+    mesh: Mesh,
+    n_iters: int = 10,
+    huber_scene: float = 2.447,
+    huber_text: float = 3.0,
+    lam0: float = 1e-4,
+    lam_up: float = 10.0,
+    lam_down: float = 0.1,
+    text_pair_feat: int = 0,  # accepted for API parity; grouped sampling is
+    lam_min: float = 1e-12,   # single-device-only (shard cuts break groups)
+    lam_max: float = 1e8,
+) -> ba.LMState:
+    """Full deferred-accept LM bundle adjustment over a device mesh.
+
+    The multi-device analog of `solver.ba.solve_ba` with IDENTICAL semantics
+    (same accept/reject schedule, damping, Schur elimination, gauge handling —
+    src/optimizer.cc:1330-1698 PyrBA): the only difference is that residual/
+    Jacobian evaluation and normal-equation assembly run observation-parallel
+    under `shard_map` and the reduced Schur blocks arrive by `psum`. The LM
+    control flow (lax.scan) and the small dense solve are replicated on every
+    device, so poses/rho/theta stay bitwise in lockstep across shards.
+
+    Observation batches are padded host-side to a shard multiple once, before
+    the jit, so the scan does not re-pad per iteration. Text photometric rows
+    use per-feature patch gathers here (the grouped Pallas region kernel
+    assumes [pair, pair_feat]-contiguous rows, which shard cuts would split).
+    """
+    n_shards = mesh.devices.size
+    scene = (pad_obs_to_shards(problem.scene, n_shards)
+             if problem.scene is not None else None)
+    text = (pad_text_to_shards(problem.text, n_shards)
+            if problem.text is not None else None)
+    problem = problem._replace(scene=scene, text=text)
+    return _solve_ba_sharded_jit(problem, mesh, n_iters, huber_scene,
+                                 huber_text, lam0, lam_up, lam_down,
+                                 lam_min, lam_max)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "huber", "huber_text", "lam"))
 def sharded_ba_step(problem: ba.BAProblem, mesh: Mesh, huber: float = 2.447,
                     huber_text: float = 3.0, lam: float = 1e-4):

@@ -590,7 +590,7 @@ def _total_cost(problem: BAProblem, hubers) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "huber_scene", "huber_text", "lam0", "lam_up",
-                     "lam_down", "text_pair_feat"),
+                     "lam_down", "text_pair_feat", "lam_min", "lam_max"),
 )
 def solve_ba(
     problem: BAProblem,
@@ -601,6 +601,8 @@ def solve_ba(
     lam_up: float = 10.0,
     lam_down: float = 0.1,
     text_pair_feat: int = 0,
+    lam_min: float = 1e-12,
+    lam_max: float = 1e8,
 ):
     """Damped LM loop (fixed iteration count, accept/reject inside).
 
@@ -617,11 +619,13 @@ def solve_ba(
     noise floor and A/B ATE runs show no difference)."""
     with jax.default_matmul_precision("highest"):
         return _solve_ba_body(problem, n_iters, huber_scene, huber_text,
-                              lam0, lam_up, lam_down, text_pair_feat)
+                              lam0, lam_up, lam_down, text_pair_feat,
+                              lam_min=lam_min, lam_max=lam_max)
 
 
 def _solve_ba_body(problem, n_iters, huber_scene, huber_text, lam0, lam_up,
-                   lam_down, text_pair_feat):
+                   lam_down, text_pair_feat, lam_min=1e-12, lam_max=1e8,
+                   build_override=None):
     K = problem.poses.shape[0]
     P = problem.rho.shape[0]
     T = problem.theta.shape[0]
@@ -716,7 +720,8 @@ def _solve_ba_body(problem, n_iters, huber_scene, huber_text, lam0, lam_up,
         )
         cost = jnp.where(accept, cost_t, best_cost)
         sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sys_t, best_sys)
-        lam = jnp.clip(jnp.where(accept, lam * lam_down, lam * lam_up), 1e-10, 1e8)
+        lam = jnp.clip(jnp.where(accept, lam * lam_down, lam * lam_up),
+                       lam_min, lam_max)
 
         prob = problem._replace(poses=params[0], rho=params[1], theta=params[2])
         delta_c, drho, dtheta = solve_from(sys, lam)
@@ -724,8 +729,14 @@ def _solve_ba_body(problem, n_iters, huber_scene, huber_text, lam0, lam_up,
         return (params, cost, sys, (new_poses, new_rho, new_theta), lam), None
 
     def build_sys(problem, params):
+        """Assemble the normal-equation system at `params`. When a
+        `build_override` is supplied (parallel.ba_sharded: shard_map'd
+        observation-parallel assembly + psum'd Schur blocks), it replaces the
+        single-device `build` — the LM accept/reject schedule, damping, and
+        back-substitution above run replicated and are identical either way."""
         prob = problem._replace(poses=params[0], rho=params[1], theta=params[2])
-        Hcc, bc, Wr, Hr, br, Wt, Ht, bt, cost = build(prob)
+        builder = build_override if build_override is not None else build
+        Hcc, bc, Wr, Hr, br, Wt, Ht, bt, cost = builder(prob)
         zW = jnp.zeros((1,))
         sys = (
             Hcc, bc,
