@@ -54,6 +54,10 @@ def reference_iters_per_sec() -> float:
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     from textslam_tpu.solver import ba
     from __graft_entry__ import _synthetic_problem
 
@@ -79,16 +83,33 @@ def main():
     iters_per_sec = reps * n_iters / dt
 
     ref = reference_iters_per_sec()
-    print(
-        json.dumps(
-            {
-                "metric": "ba_iters_per_sec",
-                "value": round(iters_per_sec, 2),
-                "unit": "LM iterations/s (20-KF window, 10240 scene + 20480 text residual rows)",
-                "vs_baseline": round(iters_per_sec / ref, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "ba_iters_per_sec",
+        "value": round(iters_per_sec, 2),
+        "unit": "LM iterations/s (20-KF window, 10240 scene + 20480 text residual rows)",
+        "vs_baseline": round(iters_per_sec / ref, 2),
+    }
+    out["extra"] = e2e_extra()
+    print(json.dumps(out))
+
+
+def e2e_extra():
+    """Secondary end-to-end throughput metric (VERDICT r1 item 8): run the
+    full pipeline over a short rendered sequence in a subprocess with a hard
+    timeout, so a slow/dropped device tunnel can never hang the primary
+    benchmark. Steady-state frames/s is dispatch-latency-bound through the
+    tunnel (each frame is ~3 fused dispatches; on local hardware the same
+    path measured ~0.5 s/frame of which most is RPC round-trip)."""
+    try:
+        r = subprocess.run(
+            ["python", os.path.join(_HERE, "bench_e2e.py"), "12"],
+            capture_output=True, timeout=480, text=True)
+        line = r.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        return {"e2e_frames_per_sec": d["value"], "e2e_ate_rmse": d.get("ate_rmse"),
+                "e2e_note": "tunneled single chip; dispatch-latency-bound"}
+    except Exception as e:
+        return {"e2e_frames_per_sec": None, "e2e_note": f"skipped: {type(e).__name__}"}
 
 
 if __name__ == "__main__":

@@ -20,6 +20,14 @@ import time
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
 
+    import os
+    import jax
+    # persistent compile cache: TPU compiles through the tunnel cost
+    # 20-40s each; cache them across runs (same dir the test suite uses)
+    here = os.path.dirname(os.path.abspath(__file__))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
     sys.path.insert(0, "tests")
     import synth
     from textslam_tpu.config import TextSLAMConfig, CameraConfig

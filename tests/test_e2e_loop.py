@@ -13,7 +13,8 @@ import dataclasses
 import numpy as np
 import pytest
 
-from textslam_tpu.config import TextSLAMConfig, CameraConfig, LoopConfig
+from textslam_tpu.config import (TextSLAMConfig, CameraConfig, LoopConfig,
+                                 SolverConfig)
 import synth
 
 
@@ -27,6 +28,10 @@ def make_cfg():
         # refuses to attempt a loop with <= 10 covisible KFs)
         loop=LoopConfig(min_kfs_before_loop=6, min_kfs_between_loops=5,
                         num_covis_for_thresh=3),
+        # CI affordability on the 2-CPU box: the faithful landmarker
+        # schedule (its=50 x levels 3..0) is unit-tested in
+        # test_config_consumers; this synthetic loop converges in far fewer
+        solver=SolverConfig(iters_landmark=10),
     )
 
 

@@ -8,6 +8,18 @@ closing. Built TPU-first: fixed-shape padded SoA state, batched kernels,
 SJTU-ViSYS/TextSLAM (see SURVEY.md).
 """
 
+import jax as _jax
+
+# f32 matmul precision for the geometry/bookkeeping kernels. On TPU the
+# default bf16 matmul passes pixel-scale values (uv coords ~100..600) through
+# einsums in two-view RANSAC / triangulation / projection chains, quantizing
+# them to ~2 px and measurably degrading ATE (scene-only rendered sequence:
+# 0.052 on TPU-bf16 vs 0.002 at f32 — bisected round 2). The compute-heavy
+# paths make their own explicit precision choices regardless: solver
+# contractions pin HIGHEST internally (solver/ba.py), the photometric
+# sampling Pallas kernel pins single-pass bf16 (ops/pallas_kernels.py).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import TextSLAMConfig, Experiment, load_yaml  # noqa: F401
 
 __version__ = "0.1.0"

@@ -138,6 +138,11 @@ class SolverConfig:
     # PyrLandmarkers has the text gate coded but hard-disabled
     # (TEXTOutlier=false, src/optimizer.cc:1861); flip this to enable it
     text_outlier_landmark: bool = False
+    # reference PyrIniBA optimizes pose+rho+theta JOINTLY
+    # (src/optimizer.cc:1030); default False = scene-only init BA + separate
+    # fixed-pose theta refinement (measured better on rendered GT — see
+    # PARITY.md "Known deviations" and the multi-seed A/B in PROGRESS.md)
+    joint_init_ba: bool = False
     # a text observation (KF, object) goes bad when more than this fraction
     # of its features fail the per-sample gate (TextRatio,
     # src/optimizer.cc:1082,1291)

@@ -270,7 +270,9 @@ class Tracker:
         # then theta-only photometric refinement against KF2 (the text half
         # of PyrIniBA, run separately — see the note in _local_ba)
         self._local_ba(window_kids=[kid1, kid2], fix=[kid1], init_ba=True)
-        if self.text_frontend is not None:
+        if self.text_frontend is not None and not self.cfg.solver.joint_init_ba:
+            # separate fixed-pose theta refinement (the default deviation;
+            # with joint_init_ba the thetas already solved inside PyrIniBA)
             self.text_frontend.refine_init_thetas(kid1, kid2)
         f2.pose = m.kf_pose[kid2].copy()
         self.last_pose = f2.pose.copy()
@@ -674,7 +676,7 @@ class Tracker:
         # photometrically right after instead (TextFrontend.refine_init_thetas)
         tf = self.tracker_text_frontend()
         text_part = None
-        if tf is not None and not init_ba and not scene_only:
+        if tf is not None and not scene_only and (not init_ba or scfg.joint_init_ba):
             text_part = tf.ba_text_batches(window_kids, slot, K)
 
         prob = ba.BAProblem(

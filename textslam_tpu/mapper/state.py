@@ -326,18 +326,18 @@ class SlamMap:
 
     def update_covis_on_obs(self, kid: int, pids: np.ndarray):
         """Incremental M1 update when kid gains observations of pids
-        (UpdateCovMap_1): one incidence-matrix product row instead of
-        per-point set intersections."""
-        pids = np.asarray([p for p in np.atleast_1d(pids) if p >= 0], np.int64)
-        if len(pids) == 0:
-            return
-        inc = self._point_incidence()  # [K, P]
-        mask = np.zeros(inc.shape[1], bool)
-        mask[pids[pids < inc.shape[1]]] = True
-        shared = inc @ mask  # [K] counts of shared new pids per KF
-        shared[kid] = 0
-        self.M1[kid, : len(shared)] += shared
-        self.M1[: len(shared), kid] += shared
+        (UpdateCovMap_1): walk the per-point observation registry —
+        O(sum of the new points' degrees), independent of K and pool size."""
+        counts: Dict[int, int] = {}
+        for p in np.atleast_1d(pids):
+            if p < 0:
+                continue
+            for k2 in self.pt_obs.get(int(p), ()):
+                if k2 != kid:
+                    counts[k2] = counts.get(k2, 0) + 1
+        for k2, c in counts.items():
+            self.M1[kid, k2] += c
+            self.M1[k2, kid] += c
 
     def rebuild_covis_m1(self):
         """Full M1 recompute as an incidence-matrix product
