@@ -34,6 +34,7 @@ observations to make that a one-line shard_map.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -43,6 +44,18 @@ from ..geometry import se3
 from ..geometry.camera import project
 from ..ops.interp import bilinear_stack, patch_bilinear_stack
 from ..ops import pallas_kernels
+
+
+# Photometric sampling precision for the grouped TPU kernel. Default is
+# single-pass bf16 (see grouped_bilinear_stack docstring); the env override
+# TEXTSLAM_SAMPLER_PRECISION=highest flips to the exact 6-pass mode — used by
+# bench_precision.py's multi-seed ATE A/B (VERDICT r1 item 10).
+_SAMPLER_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if os.environ.get("TEXTSLAM_SAMPLER_PRECISION", "").lower()
+    in ("highest", "f32")
+    else None
+)
 
 
 def _sample_text_values(images, tgt, uv, pair_feat: int):
@@ -76,7 +89,7 @@ def _sample_text_values(images, tgt, uv, pair_feat: int):
             images,
             tgt.reshape(G, pair_feat)[:, 0],
             uv.reshape(G, pair_feat * S, 2),
-            precision=None,  # single-pass bf16 (see kernel docstring)
+            precision=_SAMPLER_PRECISION,  # default single-pass bf16
         )
         return vals.reshape(O, S, -1), mask.reshape(O, S)
     return patch_bilinear_stack(images, tgt, uv[:, 0], uv)
