@@ -59,20 +59,26 @@ class PlaneWorld:
                 mask[y0:y1, x0:x1] = 1.0
             self.planes.append((z0, scale * 40.0, tex, mask))
 
-    def render(self, pose_cw: np.ndarray) -> np.ndarray:
-        """Render the world for camera pose Tcw [7] (wxyz + t)."""
+    def render(self, pose_cw: np.ndarray, K_mat=None, size=None) -> np.ndarray:
+        """Render the world for camera pose Tcw [7] (wxyz + t).
+
+        K_mat/size override the intrinsics/canvas — used to render an
+        extended field of view (e.g. to synthesize full-coverage distorted
+        images for the CLI undistortion fixture)."""
+        Km = K if K_mat is None else K_mat
+        Wc, Hc = (W, H) if size is None else size
         q, t = pose_cw[:4], pose_cw[4:]
         R = np.array(qto_matrix(jnp.asarray(q)))
-        img = np.zeros((H, W), np.float32)
-        alpha = np.zeros((H, W), np.float32)
+        img = np.zeros((Hc, Wc), np.float32)
+        alpha = np.zeros((Hc, Wc), np.float32)
         # paint far-to-near so nearer planes occlude correctly
         for z0, s, tex, mask in sorted(self.planes, key=lambda p: -p[0]):
             th, tw = tex.shape
             r1, r2, r3 = R[:, 0], R[:, 1], R[:, 2]
             col3 = r3 * z0 + t - r1 * tw / (2 * s) - r2 * th / (2 * s)
-            Hm = K @ np.stack([r1 / s, r2 / s, col3], axis=1)
-            warped = cv2.warpPerspective(tex, Hm, (W, H), flags=cv2.INTER_LINEAR)
-            wmask = cv2.warpPerspective(mask, Hm, (W, H), flags=cv2.INTER_NEAREST)
+            Hm = Km @ np.stack([r1 / s, r2 / s, col3], axis=1)
+            warped = cv2.warpPerspective(tex, Hm, (Wc, Hc), flags=cv2.INTER_LINEAR)
+            wmask = cv2.warpPerspective(mask, Hm, (Wc, Hc), flags=cv2.INTER_NEAREST)
             img = np.where(wmask > 0, warped, img)
             alpha = np.maximum(alpha, wmask)
         return img
@@ -165,6 +171,12 @@ def camera_path(n_frames: int, kind="lateral"):
         elif kind == "outback":
             # out along +x then back to the start (loop-closure fixture)
             u = 2 * s if s <= 0.5 else 2 * (1 - s)
+            t_wc = np.array([1.0 * u, 0.05 * np.sin(np.pi * u), 0.15 * u])
+            w = np.array([0.0, -0.2 * u, 0.0])
+        elif kind == "outback2":
+            # two out-and-back excursions (multi-loop fixture)
+            v = 2 * s % 1.0 if s < 1.0 else 1.0
+            u = 2 * v if v <= 0.5 else 2 * (1 - v)
             t_wc = np.array([1.0 * u, 0.05 * np.sin(np.pi * u), 0.15 * u])
             w = np.array([0.0, -0.2 * u, 0.0])
         else:

@@ -132,4 +132,4 @@ class TestScaleStability:
         interior = ratio[window:-2]
         dev = np.abs(interior - 1.0)
         assert np.median(dev) < 0.06, f"interior median dev {np.median(dev):.4f}"
-        assert dev.max() < 0.2, f"interior max dev {dev.max():.4f}"
+        assert dev.max() < 0.16, f"interior max dev {dev.max():.4f}"

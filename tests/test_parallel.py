@@ -186,3 +186,71 @@ class TestShardedTextBA:
         p2 = problem._replace(poses=poses, rho=rho, theta=theta)
         _, _, _, cost1 = ba_sharded.sharded_ba_step(p2, mesh, lam=0.1)
         assert float(cost1) < float(cost0)
+
+
+class TestShardedCovisibility:
+    """Keyframe-axis map sharding (SURVEY.md §2.4 'map sharding' row)."""
+
+    def test_product_bit_matches_host(self):
+        from textslam_tpu.parallel import covis_sharded
+        from textslam_tpu import native
+
+        rng = np.random.default_rng(0)
+        mesh = covis_sharded.make_mesh(8)
+        for K in (5, 64, 200):  # incl. non-multiples of the mesh size
+            inc = rng.random((K, 333)) < 0.15
+            M_dev = covis_sharded.covis_product(inc, mesh)
+            M_host = native.covis_product(inc)
+            np.testing.assert_array_equal(M_dev, M_host)
+
+    def test_weighted_product_matches(self):
+        from textslam_tpu.parallel import covis_sharded
+
+        rng = np.random.default_rng(1)
+        mesh = covis_sharded.make_mesh(8)
+        inc = rng.random((37, 100)) < 0.2
+        w = rng.integers(0, 64, 100)
+        M_dev = covis_sharded.covis_product(inc, mesh, w=w)
+        inc_i = inc.astype(np.int64)
+        M_ref = (inc_i * w[None, :]) @ inc_i.T
+        np.fill_diagonal(M_ref, 0)
+        np.testing.assert_array_equal(M_dev, M_ref)
+
+    def test_map_rebuild_uses_sharded_path(self):
+        """SlamMap dispatches its M1/M2/M3 rebuilds to the sharded product
+        when configured and the map exceeds covis_min_kfs."""
+        import dataclasses
+        from textslam_tpu.config import TextSLAMConfig, CameraConfig, ParallelConfig
+        from textslam_tpu.mapper.state import SlamMap, Keyframe
+
+        cfg = TextSLAMConfig(
+            camera=CameraConfig(fx=400.0, fy=400.0, cx=160.0, cy=120.0),
+            parallel=ParallelConfig(covis_devices=8, covis_min_kfs=4),
+        )
+        m = SlamMap(cfg)
+        assert m._covis_mesh is not None
+        ident = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        rng = np.random.default_rng(2)
+        for kid in range(8):
+            kf = Keyframe(
+                kid=kid, frame_id=kid, timestamp=float(kid),
+                kp_uv=np.zeros((16, 2), np.float32),
+                kp_level=np.zeros(16, np.int32),
+                kp_angle=np.zeros(16, np.float32),
+                kp_desc=np.zeros((16, 8), np.uint32),
+                kp_valid=np.ones(16, bool),
+                kp_point=np.full(16, -1, np.int32),
+                obs_good=np.zeros(16, bool),
+            )
+            m.add_keyframe(kf, ident)
+        pids = [m.add_point(0, np.array([0, 0, 1.0], np.float32), 1.0,
+                            np.zeros(8, np.uint32)) for _ in range(12)]
+        for kid in range(8):
+            for i, p in enumerate(pids):
+                if rng.random() < 0.5:
+                    m.add_observation(kid, i, p)
+        m.rebuild_covis_m1()  # sharded rebuild (K=8 >= covis_min_kfs=4)
+        inc = m._point_incidence().astype(np.int64)
+        M_ref = inc @ inc.T
+        np.fill_diagonal(M_ref, 0)
+        np.testing.assert_array_equal(m.M1[:8, :8], M_ref)

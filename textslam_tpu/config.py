@@ -82,11 +82,14 @@ class ORBConfig:
     n_features_init: int = 3000  # bootstrap extractor uses 3000 features
     scale_factor: float = 1.2
     n_levels: int = 8
-    fast_threshold: int = 20
+    # The reference's per-cell FAST runs at threshold 20 with a 7 fallback
+    # (src/ORBextractor.cc:810-816). The dense score-map design here detects
+    # at the LOW threshold everywhere and lets per-cell top-k keep the
+    # strongest corners, which subsumes the two-pass fallback — so only the
+    # low threshold is a tunable. The BRIEF patch geometry (31x31 patch,
+    # radius-15 IC_Angle disc, 19px border) is structural to the descriptor
+    # and lives as constants in ops/orb.py (PATCH/HALF_PATCH), not config.
     fast_threshold_min: int = 7
-    patch_size: int = 31
-    half_patch: int = 15
-    edge_threshold: int = 19
     # capacity of the padded keypoint pools (per frame, all levels fused)
     max_keypoints: int = 4096
     # per-frame in-text-box densification budget (the reference's second ORB
@@ -168,6 +171,8 @@ class TextConfig:
     zncc_min: float = 0.1  # TextJudge gate (src/tracking.cc:1966-1988)
     cos_orientation_min: float = 0.5  # CheckOrientation (src/tool.cc:1393-1407)
     cos_promote: float = 0.9  # IMMATURE->GOOD theta stability (src/tracking.cc:1920-1962)
+    # promotion needs NumObvs >= 4 FRAME observations (TextUpdate runs every
+    # frame and bumps NumObvs per observable frame, src/tracking.cc:1934,1951)
     min_obs_promote: int = 4
     in_image_margin: float = 6.0  # box projection must be in-image +-6px
     # semantic demotion thresholds {2, 0.9, 40}: keep GOOD only while
@@ -216,6 +221,13 @@ class LoopConfig:
     sim3_min_inliers: int = 20  # Sim3Solver SetRansacParameters(0.99, 20, 300)
     sim3_inlier_err2: float = 45.0  # px^2 symmetric reprojection (Sim3Solver.cc:195-221)
     sim3_refine_err: float = 4.0  # px after Ceres-style refine (src/optimizer.cc:706-729)
+    # SearchAndFuse projection window (the reference searches a fixed-radius
+    # neighbourhood around each projected loop landmark,
+    # src/loopClosing.cc:1045-1385) and a fusion budget per loop closure —
+    # the budget is a safety valve against a degenerate Sim3 fusing the whole
+    # map; hitting it is LOGGED, never silent
+    fuse_radius_px: float = 5.0
+    max_fusions_per_loop: int = 2000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -227,6 +239,15 @@ class ParallelConfig:
     # >1 = Tracker._local_ba dispatches to parallel.ba_sharded.solve_ba_sharded
     # over a mesh of this many devices (capped to jax.device_count()).
     ba_devices: int = 0
+    # devices for the covisibility rebuild products (SURVEY.md §2.4 "map
+    # sharding"): >1 = SlamMap.rebuild_covis_m1/m23 run the keyframe-axis-
+    # sharded MXU matmul (parallel.covis_sharded) once the map has at least
+    # covis_min_kfs keyframes; below that the host product wins on transfer
+    # cost. Measured crossover on the tunneled v5e: host native 102/364 ms
+    # vs device 141/242 ms at K=256/512 (bench_covis.py; PARITY.md
+    # "map-axis sharding")
+    covis_devices: int = 0
+    covis_min_kfs: int = 384
 
 
 @dataclasses.dataclass(frozen=True)
@@ -343,11 +364,18 @@ def load_yaml(path: str) -> TextSLAMConfig:
         fps=fnode("Camera.fps", 30.0),
         rgb=bool(int(fnode("Camera.RGB", 1))),
     )
+    # the reference composes the list path as read_path + read_list + ".txt"
+    # (src/setting.cc:62: sReadPath_ImgList = sReadPath+Imagelist_name+".txt")
+    # — the yaml value is a NAME without extension; a value that already
+    # carries .txt is accepted as-is for convenience
+    read_list = snode("Exp read list", "Imlist")
+    if not read_list.endswith(".txt"):
+        read_list = read_list + ".txt"
     cfg = TextSLAMConfig(
         experiment=Experiment(int(fnode("Exp name", 0))),
         no_text=bool(int(fnode("Exp noText", 0))),
         read_path=snode("Exp read path"),
-        read_list=snode("Exp read list", "Imlist.txt"),
+        read_list=read_list,
         camera=cam,
     )
     fs.release()

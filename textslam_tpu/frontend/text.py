@@ -821,9 +821,8 @@ class TextFrontend:
         tgt_kids = []
         involved = set()
         for kid in window_kids:
-            for (k, tid), det in list(m.tx_obs.items()):
-                if k != kid:
-                    continue
+            # per-KF secondary index: O(degree of the KF), not O(all obs)
+            for tid in list(m.tx_obs_by_kid.get(kid, {})):
                 if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_GOOD:
                     continue
                 # per-KF observation flag (vObvGoodTexts,
@@ -955,6 +954,11 @@ class TextFrontend:
                 m.tx_bad_obs[tid] += 1
         # advance the new-text KLT tracks every frame (TrackNewTextFeat)
         self.track_new_text(frame)
+        # IMMATURE maturation runs EVERY frame (TextUpdate,
+        # src/tracking.cc:457): theta refine against observing KFs + the
+        # current frame; demote BAD on solver failure; promote GOOD at
+        # cos >= 0.9 with NumObvs >= 4 frame observations
+        self._update_immature(frame, geo)
         return pose
 
     def _pose_refine_with_text(self, frame, pose, good_pids, good_kps, vis) -> np.ndarray:
@@ -1033,8 +1037,8 @@ class TextFrontend:
             for d in range(len(dets)):
                 if kf.det_object[d] < 0:
                     self.try_create_text(kid, d, state=TEXT_IMMATURE)
-        # theta refinement + promotion for IMMATURE objects
-        self._update_immature()
+        # IMMATURE maturation runs at FRAME cadence in on_frame_tracked
+        # (TextUpdate, src/tracking.cc:457) — not here
         # semantic demotion counters
         self._semantic_conditions()
         # M2/M3 update incrementally at observation registration
@@ -1088,42 +1092,64 @@ class TextFrontend:
             m.tx_score[tid] = float(det.score)
             m.tx_lang[tid] = det.lang
 
-    def _update_immature(self):
-        """ThetaOptimMultiFs + promotion (src/tracking.cc:1920-1962)."""
+    def _update_immature(self, frame, geo=None):
+        """TextUpdate (src/tracking.cc:1920-1962), frame cadence: for every
+        IMMATURE object that passes the geometric gate this frame
+        (TextJudgeSingle with the ZNCC gate disabled — threshZNCC=-3.0 at
+        :1924), bump NumObvs, run the multi-view theta refinement with the
+        CURRENT FRAME as an extra target (ThetaOptimMultiFs(cfCurrentFrame,
+        obj), :1938), demote to BAD when the solver fails (:1943-1946), and
+        promote to GOOD when cos(theta_new, theta_old) >= 0.9 and
+        NumObvs >= 4 (:1949-1958)."""
         m = self.map
         cfg = self.cfg
+        if frame is None or frame.pyr_data is None or frame.pose is None:
+            return
+        if geo is None:
+            geo, _ = self._gates(frame.pose, None)
+        extra = (frame.pose, frame.pyr_data, frame.pyr_shapes)
         for tid in range(m.n_texts):
             if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_IMMATURE:
                 continue
-            obs_kfs = m.kfs_observing_text(tid)
-            if len(obs_kfs) < 2:
+            if tid >= len(geo) or not geo[tid]:
                 continue
+            m.tx_num_obvs[tid] += 1
             theta_old = m.tx_theta[tid].copy()
-            theta_new, ok = self._theta_optimize(tid, obs_kfs)
+            obs_kfs = m.kfs_observing_text(tid)
+            theta_new, ok = self._theta_optimize(tid, obs_kfs, extra_target=extra)
             if not ok:
-                m.tx_bad_obs[tid] += 1
+                # solver failure demotes the object permanently
+                # (vTexts[itext]->STATE=TEXTBAD, src/tracking.cc:1943-1946)
+                m.tx_state[tid] = TEXT_BAD
                 continue
             m.tx_theta[tid] = theta_new
             cos = float(np.dot(theta_new, theta_old) /
                         (np.linalg.norm(theta_new) * np.linalg.norm(theta_old) + 1e-12))
-            if cos >= cfg.text.cos_promote and len(obs_kfs) >= cfg.text.min_obs_promote:
+            if (cos >= cfg.text.cos_promote
+                    and m.tx_num_obvs[tid] >= cfg.text.min_obs_promote):
                 m.tx_state[tid] = TEXT_GOOD
 
-    def _theta_optimize(self, tid: int, obs_kfs):
-        """theta-only refinement over observing KFs (PyrThetaOptim)."""
+    def _theta_optimize(self, tid: int, obs_kfs, extra_target=None):
+        """theta-only refinement over observing KFs (PyrThetaOptim).
+
+        extra_target=(pose, pyr_data, pyr_shapes) adds a non-KF frame as an
+        additional frozen target — the reference's ThetaOptimMultiFs always
+        includes the current frame (src/optimizer.cc:565-624 takes
+        `frame &F`)."""
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
         host_kid = int(m.tx_host[tid])
         targets = [k for k in obs_kfs if k != host_kid and m.keyframes[k].pyr_data is not None]
-        if not targets:
+        n_tgt = len(targets) + (1 if extra_target is not None else 0)
+        if n_tgt == 0:
             return m.tx_theta[tid], False
-        K = pad_tier(len(targets), 4)
+        K = pad_tier(n_tgt, 4)
         poses = np.zeros((K, 7), np.float32)
         poses[:, 0] = 1.0
         poses[: len(targets)] = m.kf_pose[targets]
         tgt_valid = np.zeros(K, bool)
-        tgt_valid[: len(targets)] = True
+        tgt_valid[:n_tgt] = True
         L = self.n_levels
         F = self.cfg.text.max_features_per_level
         fvk = np.zeros((K, L, F), bool)
@@ -1133,14 +1159,21 @@ class TextFrontend:
             if fg is not None:
                 fv &= fg
             fvk[i] = fv
+        if extra_target is not None:
+            poses[len(targets)] = extra_target[0]
+            fvk[len(targets)] = m.tx_feat_valid[tid]
         levels = tuple(self.cfg.pyramid.theta_levels)
+        ref_shapes = (m.keyframes[targets[0]].pyr_shapes if targets
+                      else extra_target[2])
         imgs_levels = []
         for level in levels:
-            shp = m.keyframes[targets[0]].pyr_shapes[level]
+            shp = ref_shapes[level]
             h, w = int(shp[0]), int(shp[1])
             imgs = np.zeros((K, h, w, 3), np.float32)
             for i, k in enumerate(targets):
                 imgs[i] = m.keyframes[k].pyr_data[level, :h, :w, :3]
+            if extra_target is not None:
+                imgs[len(targets)] = extra_target[1][level, :h, :w, :3]
             imgs_levels.append(jnp.asarray(imgs))
         th_j, H_j = fused_theta_optimize(
             jnp.asarray(m.tx_theta[tid]),

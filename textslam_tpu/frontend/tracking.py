@@ -403,25 +403,32 @@ class Tracker:
         return (scfg.chi2_mono_pose if n_text_rows >= 50
                 else scfg.chi2_mono_pose_lowtext)
 
+    def _narrow_to_local_map(self, frame: Frame, pt_valid: np.ndarray):
+        """Local-map cap (UpdateLocalKFs cap 80, src/tracking.cc:690-764):
+        narrow the candidate set to points hosted in the local_map_kf_cap
+        most-covisible KFs of the nearest KF (plus their loop edges).
+        Mutates pt_valid in place; returns it for chaining/tests."""
+        m = self.map
+        near = m.nearest_kfs(frame.frame_id, 1)[0]
+        K = len(m.keyframes)
+        order = np.argsort(-m.M1[near, :K])
+        local = set(order[: self.cfg.map.local_map_kf_cap].tolist()) | {near}
+        for e in m.keyframes[near].loop_edges:
+            local.add(e)
+        host_ok = np.isin(m.pt_host[: m.n_points], np.fromiter(local, np.int64))
+        pt_valid[: m.n_points] &= host_ok
+        return pt_valid
+
     def _match_map(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
         m = self.map
         cam = self.cfg.camera
         P = pad_tier(max(m.n_points, 1))
         pt_valid = _pad(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points], P, False)
-        # local-map cap (UpdateLocalKFs cap 80, src/tracking.cc:690-764):
         # projecting the WHOLE pool subsumes TrackLocalMap for normal map
         # sizes (PARITY.md), but once the map outgrows half its pool the
-        # candidate set narrows to points hosted in the local_map_kf_cap
-        # most-covisible KFs of the nearest KF (plus their loop edges)
+        # candidate set narrows to the covisibility-local sub-map
         if m.n_points > self.cfg.map.max_points // 2 and m.keyframes:
-            near = m.nearest_kfs(frame.frame_id, 1)[0]
-            K = len(m.keyframes)
-            order = np.argsort(-m.M1[near, :K])
-            local = set(order[: self.cfg.map.local_map_kf_cap].tolist()) | {near}
-            for e in m.keyframes[near].loop_edges:
-                local.add(e)
-            host_ok = np.isin(m.pt_host[: m.n_points], np.fromiter(local, np.int64))
-            pt_valid[: m.n_points] &= host_ok
+            pt_valid = self._narrow_to_local_map(frame, pt_valid)
         host = _pad(m.pt_host[: m.n_points], P, 0).clip(0)
         idx, ok, proj, z = search_from_3d(
             jnp.asarray(_pad(m.pt_ray[: m.n_points], P)),
@@ -516,6 +523,10 @@ class Tracker:
         fix = window[:1]
         with phase("kf.local_ba"):
             self._local_ba(window_kids=window, fix=fix)
+        # scene-point culling: observations the BA gate flagged bad demote
+        # their points to FLAG_BAD (mpPtsCondUpdate, src/tracking.cc:845,
+        # :2215-2231) — outlier triangulations leave the matching pool
+        m.cull_bad_points(window)
         frame.pose = m.kf_pose[kid].copy()
         self.last_pose = frame.pose.copy()
 

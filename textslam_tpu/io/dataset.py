@@ -23,12 +23,18 @@ from ..frontend.frame import TextDetection
 
 
 def classify_language(s: str) -> int:
-    """0 = latin-ish, 1 = CJK-ish (the reference infers language from UTF-8
-    byte lengths per character; multi-byte => CJK)."""
+    """Language id from UTF-8 byte lengths (src/tool.cc:163-172):
+    0 = english (every char 1 byte), 1 = Chinese (every char 3 bytes),
+    2 = mixed (anything in between)."""
     if not s:
         return 0
-    n_wide = sum(1 for c in s if len(c.encode("utf-8")) >= 3)
-    return 1 if n_wide > len(s) / 2 else 0
+    n_chars = len(s)
+    n_bytes = len(s.encode("utf-8"))
+    if n_bytes == n_chars:
+        return 0
+    if n_bytes == 3 * n_chars:
+        return 1
+    return 2
 
 
 def read_image_list(path: str) -> List[Tuple[float, str]]:
@@ -47,22 +53,42 @@ def read_image_list(path: str) -> List[Tuple[float, str]]:
 
 
 def text_dir_for(image_path: str) -> str:
-    """The reference derives the text dir by replacing "images" with "text"
-    in the image path (src/tool.cc:53-70)."""
-    return image_path.replace("images", "text")
+    """The reference derives the text path by replacing the FIRST "images"
+    with "text" in the full image path
+    (src/tool.cc:59: path.replace(Path.find("images"), 6, "text"))."""
+    return image_path.replace("images", "text", 1)
 
 
-def read_detections(text_dir: str, idx: int) -> List[TextDetection]:
-    """Read `<idx>_dete.txt` + `<idx>_mean.txt` for one frame."""
-    dete = os.path.join(text_dir, f"{idx}_dete.txt")
-    mean = os.path.join(text_dir, f"{idx}_mean.txt")
+def text_stem_for(read_path: str, image_name: str) -> str:
+    """Per-frame text-file stem: `<read_path>/<image name minus extension>`
+    with the first "images" replaced by "text" — the reference indexes text
+    files by the IMAGE FILENAME STEM, not the loop counter
+    (src/tool.cc:45-46 sRGB.erase(length-4) builds vImg_Idx; main.cpp:60
+    ReadText(sReadPath + vImg_Idx[ni]))."""
+    stem = image_name[:-4] if len(image_name) > 4 else image_name
+    return text_dir_for(os.path.join(read_path, stem))
+
+
+def read_detections(text_dir: str, idx=None) -> List[TextDetection]:
+    """Read `<stem>_dete.txt` + `<stem>_mean.txt` for one frame.
+
+    `text_dir` is the stem path itself when `idx` is None, else the
+    directory holding `<idx>_*.txt`. Corner coordinates are rounded to
+    integers like the reference (src/tool.cc:92 std::round, DOUBLE=false).
+    Deviation (documented): a comma INSIDE the recognized string is kept
+    (score = last comma field); the reference's char-walk parser misaligns
+    all subsequent lines of the file on such input (src/tool.cc:154-199)."""
+    stem = text_dir if idx is None else os.path.join(text_dir, str(idx))
+    dete = f"{stem}_dete.txt"
+    mean = f"{stem}_mean.txt"
     quads, infos = [], []
     if os.path.exists(dete):
         with open(dete) as f:
             for line in f:
                 vals = [v for v in line.strip().replace(",", " ").split() if v]
                 if len(vals) >= 8:
-                    q = np.asarray([float(v) for v in vals[:8]], np.float32).reshape(4, 2)
+                    q = np.round(np.asarray(
+                        [float(v) for v in vals[:8]], np.float32)).reshape(4, 2)
                     quads.append(q)
     if os.path.exists(mean):
         with open(mean, encoding="utf-8", errors="replace") as f:
@@ -96,7 +122,6 @@ class Dataset:
 
         self.cfg = cfg
         self.entries = read_image_list(os.path.join(cfg.read_path, cfg.read_list))
-        self.text_dir = text_dir_for(cfg.read_path)
         cam = cfg.camera
         self._K = cam.K
         self._dist = cam.dist
@@ -136,5 +161,6 @@ class Dataset:
         img = img.astype(np.float32)
         if self._undistort:
             img = cv2.remap(img, self._map1, self._map2, cv2.INTER_LINEAR)
-        dets = [] if self.cfg.no_text else read_detections(self.text_dir, i)
+        dets = ([] if self.cfg.no_text
+                else read_detections(text_stem_for(self.cfg.read_path, name)))
         return img, ts, dets

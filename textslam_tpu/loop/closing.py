@@ -225,8 +225,8 @@ class LoopCloser:
         # inside an observed text box get 3D from the plane
         def text_3d(kf):
             out_sel, out_p, out_tid = [], [], []
-            for (k, tid), det_idx in m.tx_obs.items():
-                if k != kf.kid or not m.tx_valid[tid] or m.tx_state[tid] == TEXT_BAD:
+            for tid, det_idx in m.tx_obs_by_kid.get(kf.kid, {}).items():
+                if not m.tx_valid[tid] or m.tx_state[tid] == TEXT_BAD:
                     continue
                 host = int(m.tx_host[tid])
                 quad = (m.tx_quad[tid] if host == kf.kid
@@ -298,6 +298,7 @@ class LoopCloser:
             jnp.asarray(_pad(np.ones(len(rows), bool), Np, False)),
             cam.fx, cam.fy, cam.cx, cam.cy,
             err2_thresh=lcfg.sim3_inlier_err2,
+            n_sets=lcfg.sim3_ransac_iters,
         )
         # Sim3Solver RANSAC minimum (SetRansacParameters(0.99, 20, 300))
         if int(n_inl) < lcfg.sim3_min_inliers:
@@ -309,6 +310,7 @@ class LoopCloser:
             jnp.asarray(_pad(np.ones(len(rows), bool), Np, False)),
             cam.fx, cam.fy, cam.cx, cam.cy,
             err_thresh=lcfg.sim3_refine_err,
+            n_iters=self.cfg.solver.iters_sim3,
         )
         n2 = int(inl2.sum())
         inl_np = np.asarray(inl2)[: len(rows)]
@@ -496,6 +498,7 @@ class LoopCloser:
 
         m = self.map
         cam = self.cfg.camera
+        lcfg = self.cfg.loop
         # loop-side = points hosted at or before the loop KF
         lp = np.nonzero(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points]
                         & (m.pt_host[: m.n_points] <= loop_kid))[0]
@@ -517,7 +520,8 @@ class LoopCloser:
                 jnp.asarray(m.kf_pose[w]),
                 jnp.asarray(kf.kp_uv), jnp.asarray(kf.kp_desc), jnp.asarray(kf.kp_valid),
                 cam.fx, cam.fy, cam.cx, cam.cy,
-                5.0, self.cfg.match.th_low, cam.width, cam.height,
+                lcfg.fuse_radius_px, self.cfg.match.th_low,
+                cam.width, cam.height,
                 pt_desc_alt=jnp.asarray(_pad(m.pt_desc_second[lp], P)),
             )
             idx, ok = np.asarray(idx), np.asarray(ok)
@@ -530,5 +534,8 @@ class LoopCloser:
                 elif pid_cur != pid_loop and m.pt_host[pid_cur] > loop_kid:
                     m.replace_point(pid_cur, pid_loop)
                     fused += 1
-            if fused > 200:
+            if fused > lcfg.max_fusions_per_loop:
+                print(f"[loop] SearchAndFuse fusion budget hit "
+                      f"({fused} > {lcfg.max_fusions_per_loop}) at window KF "
+                      f"{w}; remaining window KFs skipped")
                 break

@@ -27,7 +27,8 @@ def save(path: str, slam_map: SlamMap, tracker=None, text_frontend=None, extra: 
                  "pt_desc_latest", "pt_desc_second",
                  "pt_good_obs", "pt_bad_obs", "pt_n_obs",
                  "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
-                 "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
+                 "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs",
+                 "tx_num_obvs", "tx_cov",
                  "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
                  "M1", "M2", "M3"):
         blobs[name] = getattr(m, name)
@@ -109,7 +110,8 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
                  "pt_desc_latest", "pt_desc_second",
                  "pt_good_obs", "pt_bad_obs", "pt_n_obs",
                  "tx_host", "tx_theta", "tx_state", "tx_valid", "tx_quad",
-                 "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs", "tx_cov",
+                 "tx_score", "tx_sem_score", "tx_lang", "tx_good_obs", "tx_bad_obs",
+                 "tx_num_obvs", "tx_cov",
                  "tx_feat_uv", "tx_feat_ref", "tx_feat_valid",
                  "M1", "M2", "M3"):
         if name in z:

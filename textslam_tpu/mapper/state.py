@@ -108,6 +108,10 @@ class SlamMap:
         self.tx_lang = np.zeros(m.max_texts, np.int8)
         self.tx_good_obs = np.zeros(m.max_texts, np.int32)
         self.tx_bad_obs = np.zeros(m.max_texts, np.int32)
+        # IMMATURE maturation counter: +1 per FRAME in which the object is
+        # judged observable during TextUpdate (mapText::NumObvs,
+        # src/tracking.cc:1934 obj->NumObvs += 1) — frame cadence, not KFs
+        self.tx_num_obvs = np.zeros(m.max_texts, np.int32)
         self.tx_cov = np.full((m.max_texts, 3, 3), np.inf, np.float32)
         # per-level reference features: pixel uv at level + 8 ref intensities
         L = len(cfg.pyramid.theta_levels) + 1  # levels 0..3 used by solvers
@@ -135,6 +139,34 @@ class SlamMap:
         self.M1 = np.zeros((K, K), np.int32)
         self.M2 = np.zeros((K, K), np.int32)
         self.M3 = np.zeros((K, K), np.int32)
+        # optional keyframe-axis-sharded rebuild (SURVEY.md §2.4 map sharding)
+        self._covis_mesh = None
+        if cfg.parallel.covis_devices > 1:
+            import jax
+
+            n = min(cfg.parallel.covis_devices, jax.device_count())
+            if n > 1:
+                from ..parallel import covis_sharded
+
+                self._covis_mesh = covis_sharded.make_mesh(n)
+
+    def _covis_product(self, inc: np.ndarray, w=None) -> np.ndarray:
+        """Dispatch a covisibility product: keyframe-axis-sharded device
+        matmul when configured and the map is large enough to amortize the
+        transfer, else the host (native-threaded / numpy) product."""
+        if (self._covis_mesh is not None
+                and inc.shape[0] >= self.cfg.parallel.covis_min_kfs):
+            from ..parallel import covis_sharded
+
+            return covis_sharded.covis_product(inc, self._covis_mesh, w=w)
+        from .. import native
+
+        if w is None:
+            return native.covis_product(inc)
+        inc_i = inc.astype(np.int32)
+        M = (inc_i * w[None, :].astype(np.int32)) @ inc_i.T
+        np.fill_diagonal(M, 0)
+        return M
 
     # ---------------- keyframes ----------------
 
@@ -198,6 +230,25 @@ class SlamMap:
         pids = kf.kp_point[(kf.kp_point >= 0) & kf.obs_good]
         pids = pids[~self.pt_bad[pids]]
         return int((self.pt_n_obs[pids] >= min_obs).sum())
+
+    def cull_bad_points(self, window_kids) -> int:
+        """mpPtsCondUpdate (src/tracking.cc:2215-2231, called right after
+        LocalBundleAdjustment at :845): any observation in the window flagged
+        bad by BA chi2 gating marks its map point FLAG_BAD — the point leaves
+        the matching pool permanently. The per-point good/bad counters
+        (pt_good_obs/pt_bad_obs, LandmarkerObvUpdate :1581-1608) are kept for
+        parity but are vestigial in the reference too: mapPts::GetObvNum has
+        no callers; demotion is purely this BA-gate path. Returns the number
+        of points newly demoted."""
+        n_bad = 0
+        for kid in window_kids:
+            kf = self.keyframes[kid]
+            bad = (kf.kp_point >= 0) & ~kf.obs_good & kf.kp_valid
+            pids = np.unique(kf.kp_point[bad])
+            pids = pids[(pids >= 0) & ~self.pt_bad[pids]]
+            self.pt_bad[pids] = True
+            n_bad += len(pids)
+        return n_bad
 
     def point_world(self, pids: np.ndarray) -> np.ndarray:
         """xyz world positions (GetxyzPos: Twr·(ray/rho), src/mapPts.cc:126-134)."""
@@ -340,17 +391,15 @@ class SlamMap:
             self.M1[k2, kid] += c
 
     def rebuild_covis_m1(self):
-        """Full M1 recompute as an incidence-matrix product
-        (SURVEY.md §2.4: covisibility = sharded int matmul on device; here
-        the host numpy product is already orders faster than set logic)."""
+        """Full M1 recompute as an incidence-matrix product — host
+        (native-threaded) by default, keyframe-axis-sharded device matmul
+        when ParallelConfig.covis_devices is set (SURVEY.md §2.4)."""
         K = len(self.keyframes)
         self.M1[:] = 0
         if K == 0:
             return
-        from .. import native
-
         inc = self._point_incidence()
-        self.M1[:K, :K] = native.covis_product(inc)
+        self.M1[:K, :K] = self._covis_product(inc)
         # refresh per-point observing-KF counts (fusion rewires observations)
         n = min(self.n_points, inc.shape[1])
         self.pt_n_obs[:n] = inc[:, :n].sum(0)
@@ -373,14 +422,9 @@ class SlamMap:
         for (k, t) in self.tx_obs:
             if t < T and self.tx_valid[t]:
                 inc[k, t] = True
-        inc_i = inc.astype(np.int32)
         w = self.tx_feat_valid[:T, 0].sum(axis=1).astype(np.int32)
-        M2 = inc_i @ inc_i.T
-        M3 = (inc_i * w[None, :]) @ inc_i.T
-        np.fill_diagonal(M2, 0)
-        np.fill_diagonal(M3, 0)
-        self.M2[:K, :K] = M2
-        self.M3[:K, :K] = M3
+        self.M2[:K, :K] = self._covis_product(inc)
+        self.M3[:K, :K] = self._covis_product(inc, w=w)
 
     def covisible_kfs(self, kid: int) -> np.ndarray:
         """KFs sharing any landmark with kid (any of M1/M2/M3 nonzero)."""

@@ -80,11 +80,12 @@ def _sample_text_values(images, tgt, uv, pair_feat: int):
     if use_grouped:
         G = O // pair_feat
         # sampling stays single-pass bf16 (~1 gray absolute error, below the
-        # photometric noise floor): A/B runs on rendered GT sequences show
-        # no ATE difference vs the exact 6-pass kernel (run-to-run variance
-        # of short sequences dominates both), and the exact mode costs ~20%
-        # of total BA throughput. grouped_bilinear_stack takes
-        # precision=HIGHEST to flip the experiment.
+        # photometric noise floor). Governing accuracy evidence: the
+        # multi-seed paired ATE A/B in bench_precision.py (full pipeline on
+        # the real TPU over independently rendered worlds; table recorded in
+        # BASELINE.md). The exact 6-pass HIGHEST mode costs ~20% of total BA
+        # throughput; grouped_bilinear_stack takes precision=HIGHEST to flip
+        # the experiment.
         vals, mask = pallas_kernels.grouped_bilinear_stack(
             images,
             tgt.reshape(G, pair_feat)[:, 0],
