@@ -103,10 +103,17 @@ def main() -> None:
         if arm == arm_b:
             env[env_var] = env_val
         for seed in range(n_seeds):
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 mode, arm, str(seed), str(n_frames)],
-                capture_output=True, text=True, timeout=3600, env=env)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child",
+                     mode, arm, str(seed), str(n_frames)],
+                    capture_output=True, text=True, timeout=3600, env=env)
+            except subprocess.TimeoutExpired:
+                # tunneled-TPU runs occasionally wedge (dropped tunnel);
+                # skip the pair rather than losing the whole sweep
+                print(f"# child timed out (arm={arm} seed={seed}); "
+                      "skipping pair", file=sys.stderr)
+                continue
             if r.returncode != 0:
                 print(f"# child failed (arm={arm} seed={seed}):\n"
                       + r.stderr[-2000:], file=sys.stderr)
