@@ -97,9 +97,11 @@ def e2e_extra():
     """Secondary end-to-end throughput metric (VERDICT r1 item 8): run the
     full pipeline over a short rendered sequence in a subprocess with a hard
     timeout, so a slow/dropped device tunnel can never hang the primary
-    benchmark. Steady-state frames/s is dispatch-latency-bound through the
-    tunnel (each frame is ~3 fused dispatches; on local hardware the same
-    path measured ~0.5 s/frame of which most is RPC round-trip)."""
+    benchmark. The phase attribution (bench_e2e.py, BASELINE.md round-3
+    e2e timing table) shows the cost is NOT dispatch RPC (~0.04 ms RTT):
+    it is jit recompiles when the map's padded shape tiers grow, plus the
+    per-BA upload of window pyramids — both amortize on long runs via the
+    persistent compile cache and the device pyramid cache."""
     try:
         r = subprocess.run(
             ["python", os.path.join(_HERE, "bench_e2e.py"), "12"],
@@ -107,7 +109,8 @@ def e2e_extra():
         line = r.stdout.strip().splitlines()[-1]
         d = json.loads(line)
         return {"e2e_frames_per_sec": d["value"], "e2e_ate_rmse": d.get("ate_rmse"),
-                "e2e_note": "tunneled single chip; dispatch-latency-bound"}
+                "e2e_steady_ms_median": d.get("steady_ms_per_frame_median"),
+                "e2e_note": "tunneled single chip; see BASELINE.md e2e timing table"}
     except Exception as e:
         return {"e2e_frames_per_sec": None, "e2e_note": f"skipped: {type(e).__name__}"}
 

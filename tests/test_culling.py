@@ -119,6 +119,7 @@ class _FakeFrame:
         self.pose = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
         self.pyr_data = np.zeros((4, 8, 8, 3), np.float32)
         self.pyr_shapes = np.array([[8, 8]] * 4, np.int32)
+        self.pyr_dev = None
 
 
 def _frontend_with_immature(monkeypatch, theta_result):

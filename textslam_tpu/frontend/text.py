@@ -83,6 +83,34 @@ def extract_text_features(level_img, level_grad, quad, mu, sigma, n_feat: int):
 
 
 @jax.jit
+def _pair_geometry(quads, thetas, hposes, tposes, tgt_idx, images, feat_uv,
+                   fx, fy, cx, cy, fxl, fyl, cxl, cyl):
+    """All per-(object, target-KF) device geometry of a text-BA level in ONE
+    program over a PADDED pair axis: project the host quads through the
+    planes into the targets, take each projected quad's (mu, sigma) in its
+    target level image, and unproject the INTERVAL8 pattern positions.
+
+    The pair count changes at nearly every keyframe; computing these with
+    [n_pairs]-shaped jits recompiled per insertion and dominated KF cost
+    (ba.build_text_obs 2.26 s/level-pass in the bench_e2e phase table).
+    quads [Np,4,2] host-level-0 px; thetas [Np,3]; hposes/tposes [Np,7];
+    tgt_idx [Np]; images [K,H,W,3]; feat_uv [Np,F,2] level px."""
+    qrays = unproject(quads, fx, fy, cx, cy)
+    T_cr = se3.relative(tposes, hposes)
+    p_cq = plane.project_to_target(qrays, thetas[:, None, :], T_cr[:, None, :])
+    quad_t = project(p_cq, fxl, fyl, cxl, cyl)
+
+    def one(ti, q):
+        mu, sigma, n = rasterize.quad_stats(images[ti, ..., 0], q)
+        return mu, sigma
+
+    mu, sigma = jax.vmap(one)(tgt_idx, quad_t)
+    pos = feat_uv[:, :, None, :] + jnp.asarray(INTERVAL8)[None, None, :, :]
+    rays = unproject(pos, fxl, fyl, cxl, cyl)
+    return mu, sigma, rays
+
+
+@jax.jit
 def _batch_mu_sigma(images, tgt_idx, quads):
     """(mu, sigma) of each projected quad in its target level image.
 
@@ -389,6 +417,9 @@ class TextFrontend:
         kf = self.map.keyframes[kid]
         return kf.pyr_data, kf.pyr_shapes
 
+    def _kf_has_pyr(self, kid: int) -> bool:
+        return self.map.keyframes[kid].pyr_shapes is not None
+
     # ------------------------------------------------------------------
     # creation
     def try_create_text(self, kid: int, det_idx: int, state=TEXT_IMMATURE) -> Optional[int]:
@@ -456,18 +487,19 @@ class TextFrontend:
         m = self.map
         cam = self.cfg.camera
         others = [k for k in m.window_kfs(6)
-                  if k != kid and m.keyframes[k].pyr_data is not None]
-        if not others or m.keyframes[kid].pyr_data is None:
+                  if k != kid and self._kf_has_pyr(k)]
+        if not others or not self._kf_has_pyr(kid):
             return None
         other = others[-1]
         kf_i, kf_j = m.keyframes[kid], m.keyframes[other]
 
         def unpack_pyr(kf):
+            dev = m.kf_pyr_dev(kf)
             imgs, grads = [], []
             for l in range(4):
                 h, w = int(kf.pyr_shapes[l][0]), int(kf.pyr_shapes[l][1])
-                imgs.append(jnp.asarray(kf.pyr_data[l, :h, :w, 0]))
-                grads.append(jnp.asarray(kf.pyr_data[l, :h, :w, 1:3]))
+                imgs.append(dev[l, :h, :w, 0])
+                grads.append(dev[l, :h, :w, 1:3])
             return imgs, grads
 
         pi, gi = unpack_pyr(kf_i)
@@ -523,13 +555,14 @@ class TextFrontend:
         m = self.map
         kf = m.keyframes[kid]
         self._klt = None
-        if kf.pyr_data is None or not kf.det_text:
+        if kf.pyr_shapes is None or not kf.det_text:
             return
         boxes = [d for d in range(len(kf.det_text)) if kf.det_object[d] < 0]
         if not boxes:
             return
         F = self.cfg.text.max_features_per_level
-        imgs, grads = self._unpack_packed_pyr(kf.pyr_data, kf.pyr_shapes)
+        imgs, grads = self._unpack_packed_pyr(
+            self.map.kf_pyr_dev(kf), kf.pyr_shapes)
         uv_all, det_all, val_all = [], [], []
         for d in boxes:
             quad = jnp.asarray(kf.det_text[d].quad)
@@ -552,11 +585,13 @@ class TextFrontend:
         src/tracking.cc:453,1752-1785 runs cv::calcOpticalFlowPyrLK every
         frame; tracks that fail drop out permanently)."""
         st = self._klt
-        if st is None or frame.pyr_data is None or not st["valid"].any():
+        if st is None or frame.pyr_shapes is None or not st["valid"].any():
             return
-        imgs_j, grads_j = self._unpack_packed_pyr(frame.pyr_data, frame.pyr_shapes)
+        imgs_j, grads_j = self._unpack_packed_pyr(
+            frame.pyr_dev if frame.pyr_dev is not None else frame.pyr_data,
+            frame.pyr_shapes)
         M = len(st["uv_cur"])
-        Mp = pad_tier(M, 64)
+        Mp = pad_tier(M, 256)  # tier floor: fewer KLT recompiles
         uv = np.zeros((Mp, 2), np.float32)
         uv[:M] = st["uv_cur"]
         val = np.zeros(Mp, bool)
@@ -631,16 +666,18 @@ class TextFrontend:
         """Per-level reference features + level-0 box pixels for ZNCC."""
         m = self.map
         kid = int(m.tx_host[tid])
-        pyr_data, pyr_shapes = self._host_pyr(kid)
-        if pyr_data is None:
+        kf = m.keyframes[kid]
+        pyr_shapes = kf.pyr_shapes
+        if pyr_shapes is None:
             return
+        dev = m.kf_pyr_dev(kf)
         quad0 = m.tx_quad[tid]
         F = self.cfg.text.max_features_per_level
         for l in range(self.n_levels):
             s = 2.0**l
             h, w = pyr_shapes[l]
-            img = jnp.asarray(pyr_data[l, :h, :w, 0])
-            grad = jnp.asarray(pyr_data[l, :h, :w, 1:3])
+            img = dev[l, :h, :w, 0]
+            grad = dev[l, :h, :w, 1:3]
             quad_l = jnp.asarray(quad0 / s)
             mu, sigma, n = rasterize.quad_stats(img, quad_l)
             self.tx_host_stats[tid, l] = (float(mu), float(sigma))
@@ -648,9 +685,10 @@ class TextFrontend:
             m.tx_feat_uv[tid, l] = np.asarray(uv)
             m.tx_feat_ref[tid, l] = np.asarray(ref)
             m.tx_feat_valid[tid, l] = np.asarray(valid)
-        # level-0 box pixels for the ZNCC gate (subsampled grid)
+        # level-0 box pixels for the ZNCC gate (subsampled grid); the
+        # intensities gather on DEVICE (pulling only the ~1K values, not the
+        # whole host pyramid mirror — the mirror stays lazy, frame.host_pyr)
         h0, w0 = pyr_shapes[0]
-        img0 = pyr_data[0, :h0, :w0, 0]
         mask = np.asarray(rasterize.quad_mask(jnp.asarray(quad0), int(h0), int(w0)))
         ys, xs = np.nonzero(mask)
         if len(ys) == 0:
@@ -659,7 +697,8 @@ class TextFrontend:
         ys, xs = ys[::stride][: self.B], xs[::stride][: self.B]
         nb = len(ys)
         self.tx_box_uv[tid, :nb] = np.stack([xs, ys], -1)
-        self.tx_box_int[tid, :nb] = img0[ys, xs]
+        self.tx_box_int[tid, :nb] = np.asarray(
+            dev[0, jnp.asarray(ys), jnp.asarray(xs), 0])
         self.tx_box_valid[tid, :nb] = True
         self.tx_box_valid[tid, nb:] = False
 
@@ -695,9 +734,11 @@ class TextFrontend:
         host = m.tx_host[: m.n_texts].clip(0)
         hposes[: m.n_texts] = m.kf_pose[host]
         live[: m.n_texts] = m.tx_valid[: m.n_texts] & (m.tx_state[: m.n_texts] != TEXT_BAD)
-        if frame is not None and frame.pyr_data is not None:
+        if frame is not None and frame.pyr_shapes is not None:
             h, w = int(frame.pyr_shapes[0][0]), int(frame.pyr_shapes[0][1])
-            img0 = jnp.asarray(frame.pyr_data[0, :h, :w, 0])
+            fdev = (frame.pyr_dev if frame.pyr_dev is not None
+                    else jnp.asarray(frame.pyr_data))
+            img0 = fdev[0, :h, :w, 0]
         else:
             img0 = jnp.zeros((8, 8), jnp.float32)
         geo, full, sc = _gates_kernel(
@@ -744,25 +785,35 @@ class TextFrontend:
         sc = 2.0**level
         F = self.cfg.text.max_features_per_level
         tids_np = np.asarray(tids, np.int64)
-        hposes = np.asarray(host_poses, np.float32)
-        tposes = np.asarray(target_poses, np.float32)
 
-        # target-frame (mu, sigma): project quads via planes with per-pair
-        # target poses (batched relative transform)
-        qrays = unproject(jnp.asarray(m.tx_quad[tids_np]), cam.fx, cam.fy, cam.cx, cam.cy)
-        T_cr = se3.relative(jnp.asarray(tposes), jnp.asarray(hposes))
-        p_cq = plane.project_to_target(qrays, jnp.asarray(m.tx_theta[tids_np])[:, None, :], T_cr[:, None, :])
-        quad_t = np.asarray(project(p_cq, fxl, fyl, cxl, cyl))
-        mu, sigma = _batch_mu_sigma(
-            jnp.asarray(target_pyrs), jnp.asarray(np.asarray(target_slots, np.int32)),
-            jnp.asarray(quad_t),
-        )
-        ms = np.stack([np.asarray(mu), np.asarray(sigma).clip(1e-3)], -1)  # [p, 2]
+        # padded pair axis: one fused device program with TIERED shapes
+        # (see _pair_geometry) instead of per-pair-count recompiles
+        Np = pad_tier(n_pairs, 32)
+        quads_p = np.zeros((Np, 4, 2), np.float32)
+        quads_p[:n_pairs] = m.tx_quad[tids_np]
+        thetas_p = np.zeros((Np, 3), np.float32)
+        thetas_p[:, 2] = -1.0
+        thetas_p[:n_pairs] = m.tx_theta[tids_np]
+        hposes_p = np.zeros((Np, 7), np.float32)
+        hposes_p[:, 0] = 1.0
+        hposes_p[:n_pairs] = np.asarray(host_poses, np.float32)
+        tposes_p = hposes_p.copy()
+        tposes_p[:n_pairs] = np.asarray(target_poses, np.float32)
+        tgt_p = np.zeros(Np, np.int32)
+        tgt_p[:n_pairs] = np.asarray(target_slots, np.int32)
+        fuv_p = np.zeros((Np, F, 2), np.float32)
+        fuv_p[:n_pairs] = m.tx_feat_uv[tids_np, level]
+        mu_j, sigma_j, rays_j = _pair_geometry(
+            jnp.asarray(quads_p), jnp.asarray(thetas_p), jnp.asarray(hposes_p),
+            jnp.asarray(tposes_p), jnp.asarray(tgt_p),
+            jnp.asarray(target_pyrs), jnp.asarray(fuv_p),
+            cam.fx, cam.fy, cam.cx, cam.cy, fxl, fyl, cxl, cyl)
+        mu = np.asarray(mu_j)[:n_pairs]
+        sigma = np.asarray(sigma_j)[:n_pairs]
+        rays = np.asarray(rays_j)[:n_pairs]
+        ms = np.stack([mu, sigma.clip(1e-3)], -1)  # [p, 2]
 
-        # pattern rays for all pairs at once
-        uv = m.tx_feat_uv[tids_np, level]  # [p, F, 2]
-        pos = uv[:, :, None, :] + INTERVAL8[None, None, :, :]  # [p, F, 8, 2]
-        rays = np.asarray(unproject(jnp.asarray(pos), fxl, fyl, cxl, cyl))
+        hposes = hposes_p[:n_pairs]
         ref = m.tx_feat_ref[tids_np, level]  # [p, F, 8]
         fvalid = m.tx_feat_valid[tids_np, level].copy()  # [p, F]
         if target_kids is not None:
@@ -775,7 +826,10 @@ class TextFrontend:
                     fvalid[i] &= fg[level]
 
         O_real = n_pairs * F
-        O = pad_tier(O_real, 64)
+        # minimum 1024 rows: each distinct text-batch tier recompiles the
+        # joint solver (~20-40s through the TPU tunnel); masked rows are
+        # near-free on the MXU
+        O = pad_tier(O_real, 1024)
         tgt = np.repeat(np.asarray(target_slots, np.int32), F)
         host = np.repeat(np.asarray(host_slots, np.int32), F)
         hiw = np.repeat(np.asarray(host_in_window, bool), F)
@@ -832,7 +886,7 @@ class TextFrontend:
                 h = int(m.tx_host[tid])
                 if h == kid:
                     continue  # host frame residual is identically zero
-                if m.keyframes[kid].pyr_data is None:
+                if not self._kf_has_pyr(kid):
                     continue
                 pairs_t.append(tid)
                 tgt_slots.append(slot[kid])
@@ -856,20 +910,34 @@ class TextFrontend:
             "target_kids": tgt_kids,
         }, tids, tid_to_lm
 
-    def gather_level_images(self, window_kids, level):
-        """[K, H_l, W_l] level intensities for the window (zero-padded)."""
+    def gather_level_images(self, window_kids, level, K_pad=None):
+        """[K_pad, H_l, W_l, 3] level images for the window as a DEVICE
+        array (zero-padded slots). Stacks the device-resident per-KF
+        pyramids (SlamMap.kf_pyr_dev) — no host round-trip; re-uploading
+        the window pyramids per BA build dominated KF-insertion cost on the
+        tunneled TPU (bench_e2e.py phase table)."""
         m = self.map
-        ref_kf = next((m.keyframes[k] for k in window_kids if m.keyframes[k].pyr_data is not None), None)
+        ref_kf = next((m.keyframes[k] for k in window_kids
+                       if m.keyframes[k].pyr_shapes is not None), None)
         if ref_kf is None:
             return None, None
         h, w = int(ref_kf.pyr_shapes[level][0]), int(ref_kf.pyr_shapes[level][1])
-        K = len(window_kids)
-        imgs = np.zeros((K, h, w, 3), np.float32)
-        for i, k in enumerate(window_kids):
+        K_pad = K_pad or len(window_kids)
+        zero = None
+        slices = []
+        for k in window_kids:
             kf = m.keyframes[k]
-            if kf.pyr_data is not None:
-                imgs[i] = kf.pyr_data[level, :h, :w, :3]
-        return imgs, (h, w)
+            dev = m.kf_pyr_dev(kf)
+            if dev is not None:
+                slices.append(dev[level, :h, :w, :3])
+            else:
+                if zero is None:
+                    zero = jnp.zeros((h, w, 3), jnp.float32)
+                slices.append(zero)
+        if zero is None and len(slices) < K_pad:
+            zero = jnp.zeros((h, w, 3), jnp.float32)
+        slices += [zero] * (K_pad - len(slices))
+        return jnp.stack(slices), (h, w)
 
     # ------------------------------------------------------------------
     # tracker hooks
@@ -942,8 +1010,12 @@ class TextFrontend:
         # analog, src/optimizer.cc:1238): one 8-dim row per valid feature
         self.last_text_rows = (
             int(m.tx_feat_valid[np.asarray(vis, np.int64), 0].sum()) if vis else 0)
-        if vis and frame.pyr_data is not None:
-            pose = self._pose_refine_with_text(frame, pose, good_pids, good_kps, vis)
+        if vis and frame.pyr_shapes is not None:
+            from ..utils.profiling import phase
+
+            with phase("track.text_refine"):
+                pose = self._pose_refine_with_text(
+                    frame, pose, good_pids, good_kps, vis)
             geo, full = self._gates(pose, frame)
         # counters: good when all gates pass; bad only when geometrically
         # visible but failing the appearance (ZNCC) gate
@@ -952,13 +1024,17 @@ class TextFrontend:
                 m.tx_good_obs[tid] += 1
             else:
                 m.tx_bad_obs[tid] += 1
+        from ..utils.profiling import phase
+
         # advance the new-text KLT tracks every frame (TrackNewTextFeat)
-        self.track_new_text(frame)
+        with phase("track.klt"):
+            self.track_new_text(frame)
         # IMMATURE maturation runs EVERY frame (TextUpdate,
         # src/tracking.cc:457): theta refine against observing KFs + the
         # current frame; demote BAD on solver failure; promote GOOD at
         # cos >= 0.9 with NumObvs >= 4 frame observations
-        self._update_immature(frame, geo)
+        with phase("track.immature"):
+            self._update_immature(frame, geo)
         return pose
 
     def _pose_refine_with_text(self, frame, pose, good_pids, good_kps, vis) -> np.ndarray:
@@ -968,7 +1044,7 @@ class TextFrontend:
         from .tracking import _pad, _pad_pose, pad_tier as ptier
 
         # scene obs (same as tracker pose optimize)
-        O = ptier(max(len(good_pids), 1), 256)
+        O = ptier(max(len(good_pids), 1), 1024)
         host = m.pt_host[good_pids].clip(0)
         obs_valid = np.zeros(O, bool)
         obs_valid[: len(good_pids)] = True
@@ -983,11 +1059,11 @@ class TextFrontend:
             weight=jnp.full(O, scfg.weight_scene, dtype=jnp.float32),
             valid=jnp.asarray(obs_valid),
         )
-        Pt = ptier(max(m.n_points, 1), 256)
+        Pt = self.cfg.map.max_points  # clamped: see Tracker._pose_optimize
         rho = jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt))
 
         vis_np = np.asarray(vis, np.int64)
-        T = pad_tier(len(vis), 8)
+        T = pad_tier(len(vis), 16)  # tier floor: fewer refine recompiles
         theta = np.zeros((T, 3), np.float32)
         theta[: len(vis)] = m.tx_theta[vis_np]
         host_poses = np.zeros((T, 7), np.float32)
@@ -1003,9 +1079,10 @@ class TextFrontend:
         feat_valid[: len(vis)] = m.tx_feat_valid[vis_np]
         obj_valid = np.zeros(T, bool)
         obj_valid[: len(vis)] = True
+        fdev = frame.pyr_dev if frame.pyr_dev is not None else jnp.asarray(frame.pyr_data)
         imgs_levels = tuple(
-            jnp.asarray(frame.pyr_data[l, : int(frame.pyr_shapes[l][0]),
-                                       : int(frame.pyr_shapes[l][1]), :3])
+            fdev[l, : int(frame.pyr_shapes[l][0]),
+                 : int(frame.pyr_shapes[l][1]), :3]
             for l in self.levels
         )
         out = fused_pose_refine(
@@ -1103,11 +1180,14 @@ class TextFrontend:
         NumObvs >= 4 (:1949-1958)."""
         m = self.map
         cfg = self.cfg
-        if frame is None or frame.pyr_data is None or frame.pose is None:
+        if frame is None or frame.pyr_shapes is None or frame.pose is None:
             return
         if geo is None:
             geo, _ = self._gates(frame.pose, None)
-        extra = (frame.pose, frame.pyr_data, frame.pyr_shapes)
+        fdev = getattr(frame, "pyr_dev", None)
+        extra = (frame.pose,
+                 fdev if fdev is not None else frame.pyr_data,
+                 frame.pyr_shapes)
         for tid in range(m.n_texts):
             if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_IMMATURE:
                 continue
@@ -1140,7 +1220,8 @@ class TextFrontend:
         cam = self.cfg.camera
         scfg = self.cfg.solver
         host_kid = int(m.tx_host[tid])
-        targets = [k for k in obs_kfs if k != host_kid and m.keyframes[k].pyr_data is not None]
+        targets = [k for k in obs_kfs
+                   if k != host_kid and self._kf_has_pyr(k)]
         n_tgt = len(targets) + (1 if extra_target is not None else 0)
         if n_tgt == 0:
             return m.tx_theta[tid], False
@@ -1165,16 +1246,22 @@ class TextFrontend:
         levels = tuple(self.cfg.pyramid.theta_levels)
         ref_shapes = (m.keyframes[targets[0]].pyr_shapes if targets
                       else extra_target[2])
+        # device-side stacking of the resident pyramids (this path runs per
+        # IMMATURE object per frame — host assembly + upload here was a
+        # per-frame cost multiplier)
+        tgt_devs = [m.kf_pyr_dev(m.keyframes[k]) for k in targets]
+        if extra_target is not None:
+            ed = extra_target[1]
+            tgt_devs.append(ed if not isinstance(ed, np.ndarray) else jnp.asarray(ed))
         imgs_levels = []
         for level in levels:
             shp = ref_shapes[level]
             h, w = int(shp[0]), int(shp[1])
-            imgs = np.zeros((K, h, w, 3), np.float32)
-            for i, k in enumerate(targets):
-                imgs[i] = m.keyframes[k].pyr_data[level, :h, :w, :3]
-            if extra_target is not None:
-                imgs[len(targets)] = extra_target[1][level, :h, :w, :3]
-            imgs_levels.append(jnp.asarray(imgs))
+            slices = [d[level, :h, :w, :3] for d in tgt_devs]
+            if len(slices) < K:
+                zero = jnp.zeros((h, w, 3), jnp.float32)
+                slices += [zero] * (K - len(slices))
+            imgs_levels.append(jnp.stack(slices))
         th_j, H_j = fused_theta_optimize(
             jnp.asarray(m.tx_theta[tid]),
             jnp.asarray(poses), jnp.asarray(tgt_valid),

@@ -296,6 +296,7 @@ class Tracker:
             obs_good=np.zeros(n, bool),
             pyr_data=frame.pyr_data,
             pyr_shapes=frame.pyr_shapes,
+            pyr_dev=frame.pyr_dev,
             det_quads=(
                 np.stack([d.quad for d in frame.detections])
                 if frame.detections
@@ -422,7 +423,10 @@ class Tracker:
     def _match_map(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
         m = self.map
         cam = self.cfg.camera
-        P = pad_tier(max(m.n_points, 1))
+        # minimum 4096: every distinct pool tier compiles a fresh matcher
+        # program (~20-40s through the TPU tunnel); skipping the small tiers
+        # trades a few MB of masked work for 4 fewer compiles per run
+        P = pad_tier(max(m.n_points, 1), minimum=4096)
         pt_valid = _pad(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points], P, False)
         # projecting the WHOLE pool subsumes TrackLocalMap for normal map
         # sizes (PARITY.md), but once the map outgrows half its pool the
@@ -460,7 +464,7 @@ class Tracker:
         cam = self.cfg.camera
         scfg = self.cfg.solver
         chi2_gate = self._pose_chi2_gate()
-        O = pad_tier(max(len(pids), 1))
+        O = pad_tier(max(len(pids), 1), minimum=1024)
         host = m.pt_host[pids].clip(0)
         obs_valid = np.zeros(O, bool)
         obs_valid[: len(pids)] = True
@@ -475,7 +479,9 @@ class Tracker:
             weight=jnp.full(O, scfg.weight_scene, dtype=jnp.float32),
             valid=jnp.asarray(obs_valid),
         )
-        Pt = pad_tier(max(m.n_points, 1))
+        # rho pool clamped to its cap: the [Pt] vector is 128 KB at 32768,
+        # so paying it every frame is free vs one recompile per growth tier
+        Pt = self.cfg.map.max_points
         pose = jnp.asarray(guess, dtype=jnp.float32)[None]
         rho = jnp.asarray(_pad(m.pt_rho[:m.n_points], Pt))
         prob = ba.BAProblem(
@@ -611,7 +617,10 @@ class Tracker:
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
-        K = pad_tier(len(window_kids), minimum=4)  # fixed window tiers
+        # K pinned at 32 (>= the padded 20-KF window): a varying window tier
+        # recompiles every solver program per level; the fixed 32-slot
+        # window costs only masked slots and device-stacked image memory
+        K = pad_tier(len(window_kids), minimum=32)
         slot = {k: i for i, k in enumerate(window_kids)}
 
         # vectorized observation gathering (no per-observation python)
@@ -657,8 +666,8 @@ class Tracker:
             return
         # compact point remap
         upts, pinv = np.unique(point_l, return_inverse=True)
-        P = pad_tier(len(upts))
-        O = pad_tier(len(tgt_l))
+        P = pad_tier(len(upts), minimum=2048)
+        O = pad_tier(len(tgt_l), minimum=2048)
         valid = np.zeros(O, bool)
         valid[: len(tgt_l)] = True
         rho_free = np.zeros(P, bool)
@@ -709,10 +718,11 @@ class Tracker:
             huber = scfg.huber_scene_init if init_ba else scfg.huber_scene_pose
 
         if text_part is None:
-            st = self._solve(prob, n_iters=n_it, huber_scene=huber)
+            with phase("ba.solve_scene"):
+                st = self._solve(prob, n_iters=n_it, huber_scene=huber)
         else:
             pairs, tids, tid_to_lm = text_part
-            Tn = pad_tier(len(tids), minimum=8)
+            Tn = pad_tier(len(tids), minimum=64)
             theta = np.zeros((Tn, 3), np.float32)
             theta[: len(tids)] = m.tx_theta[tids]
             theta_free = np.zeros(Tn, bool)
@@ -725,13 +735,14 @@ class Tracker:
                       else self.cfg.pyramid.init_ba_levels if init_ba
                       else self.cfg.pyramid.ba_levels)
             for level in levels:
-                imgs, shape = tf.gather_level_images(window_kids, level)
-                if imgs is None:
+                with phase("ba.gather_imgs"):
+                    imgs_p, shape = tf.gather_level_images(
+                        window_kids, level, K_pad=K)
+                if imgs_p is None:
                     st = self._solve(cur, n_iters=n_it, huber_scene=huber)
                     break
-                imgs_p = np.zeros((K, shape[0], shape[1], 3), np.float32)
-                imgs_p[: imgs.shape[0]] = imgs
-                tobs = tf.build_text_obs(
+                with phase("ba.build_text_obs"):
+                  tobs = tf.build_text_obs(
                     tids=pairs["tids"],
                     target_slots=pairs["target_slots"],
                     host_slots=pairs["host_slots"],
@@ -750,20 +761,22 @@ class Tracker:
                     theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free),
                     text=tobs, images=jnp.asarray(imgs_p),
                 )
-                st = self._solve(
-                    cur,
-                    n_iters=scfg.iters_landmark if landmark_only else scfg.iters_per_level,
-                    huber_scene=huber,
-                    # thetaText rows use Huber 2.0 in PyrLandmarkers
-                    # (src/optimizer.cc:1966) vs 3.0 in PyrBA (:1504)
-                    huber_text=scfg.huber_theta if landmark_only else scfg.huber_text,
-                    text_pair_feat=self.cfg.text.max_features_per_level)
+                with phase("ba.solve_joint"):
+                    st = self._solve(
+                        cur,
+                        n_iters=scfg.iters_landmark if landmark_only else scfg.iters_per_level,
+                        huber_scene=huber,
+                        # thetaText rows use Huber 2.0 in PyrLandmarkers
+                        # (src/optimizer.cc:1966) vs 3.0 in PyrBA (:1504)
+                        huber_text=scfg.huber_theta if landmark_only else scfg.huber_text,
+                        text_pair_feat=self.cfg.text.max_features_per_level)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
                 theta = np.asarray(st.theta)
                 if not landmark_only or scfg.text_outlier_landmark:
-                    self._gate_text_features(
-                        cur, pairs, level,
-                        gate=scfg.chi2_text_landmark if landmark_only else None)
+                    with phase("ba.gate_text"):
+                        self._gate_text_features(
+                            cur, pairs, level,
+                            gate=scfg.chi2_text_landmark if landmark_only else None)
             # write back thetas of in-window hosts
             for i, t in enumerate(tids):
                 if theta_free[i] and np.isfinite(theta[i]).all():

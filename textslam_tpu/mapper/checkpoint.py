@@ -67,7 +67,9 @@ def save(path: str, slam_map: SlamMap, tracker=None, text_frontend=None, extra: 
         blobs[f"kf{i}_kp_valid"] = kf.kp_valid
         blobs[f"kf{i}_kp_point"] = kf.kp_point
         blobs[f"kf{i}_obs_good"] = kf.obs_good
-        if kf.pyr_data is not None:
+        from ..frontend.frame import host_pyr
+
+        if host_pyr(kf) is not None:
             blobs[f"kf{i}_pyr_data"] = kf.pyr_data
             blobs[f"kf{i}_pyr_shapes"] = kf.pyr_shapes
         if kf.det_quads is not None:

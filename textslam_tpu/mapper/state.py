@@ -47,6 +47,10 @@ class Keyframe:
     # direct-pyramid (x2) packed data for photometric BA, kept on host
     pyr_data: Optional[np.ndarray] = None  # [L, H, W, 3] float32
     pyr_shapes: Optional[np.ndarray] = None  # [L, 2] int32
+    # device-resident copy (shared with the Frame it came from); evicted
+    # for keyframes that leave the BA window — consumers fall back to
+    # uploading pyr_data (SlamMap.kf_pyr_dev)
+    pyr_dev: Optional[object] = None
     # text detections in this KF
     det_quads: Optional[np.ndarray] = None  # [D, 4, 2] float32 corners
     det_text: Optional[object] = None  # list[TextInfo-like] host records
@@ -178,7 +182,33 @@ class SlamMap:
         self.keyframes.append(kf)
         self.kf_pose[kid] = pose
         self.kf_valid[kid] = True
+        # bound device pyramid residency to the BA window (+margin for the
+        # theta solvers); older KFs keep only the host mirror (~15 MB each
+        # on device otherwise — 512 KFs would exhaust HBM)
+        keep = self.cfg.solver.ba_window + 8
+        if kid >= keep:
+            old = self.keyframes[kid - keep]
+            if old.pyr_dev is not None:
+                from ..frontend.frame import host_pyr
+
+                host_pyr(old)  # materialize the host mirror ONCE, then drop
+                old.pyr_dev = None
         return kid
+
+    def kf_pyr_dev(self, kf: Keyframe):
+        """Device packed pyramid of a keyframe: the resident copy when the
+        KF is still in the retention window, else a one-off upload of the
+        host mirror (loop-time global passes over old KFs)."""
+        if kf.pyr_dev is not None:
+            return kf.pyr_dev
+        if kf.pyr_data is None:
+            return None
+        import jax.numpy as jnp
+
+        return jnp.asarray(kf.pyr_data)
+
+    def kf_has_pyr(self, kf: Keyframe) -> bool:
+        return kf.pyr_shapes is not None
 
     def set_pose(self, kid: int, pose: np.ndarray):
         self.kf_pose[kid] = pose
