@@ -786,6 +786,8 @@ class TextFrontend:
         F = self.cfg.text.max_features_per_level
         tids_np = np.asarray(tids, np.int64)
 
+        from ..utils.profiling import phase
+
         # padded pair axis: one fused device program with TIERED shapes
         # (see _pair_geometry) instead of per-pair-count recompiles
         Np = pad_tier(n_pairs, 32)
@@ -803,14 +805,16 @@ class TextFrontend:
         tgt_p[:n_pairs] = np.asarray(target_slots, np.int32)
         fuv_p = np.zeros((Np, F, 2), np.float32)
         fuv_p[:n_pairs] = m.tx_feat_uv[tids_np, level]
-        mu_j, sigma_j, rays_j = _pair_geometry(
+        with phase("btx.geom"):
+            mu_j, sigma_j, rays_j = _pair_geometry(
             jnp.asarray(quads_p), jnp.asarray(thetas_p), jnp.asarray(hposes_p),
             jnp.asarray(tposes_p), jnp.asarray(tgt_p),
             jnp.asarray(target_pyrs), jnp.asarray(fuv_p),
-            cam.fx, cam.fy, cam.cx, cam.cy, fxl, fyl, cxl, cyl)
-        mu = np.asarray(mu_j)[:n_pairs]
-        sigma = np.asarray(sigma_j)[:n_pairs]
-        rays = np.asarray(rays_j)[:n_pairs]
+                cam.fx, cam.fy, cam.cx, cam.cy, fxl, fyl, cxl, cyl)
+        with phase("btx.pull"):
+            mu = np.asarray(mu_j)[:n_pairs]
+            sigma = np.asarray(sigma_j)[:n_pairs]
+            rays = np.asarray(rays_j)[:n_pairs]
         ms = np.stack([mu, sigma.clip(1e-3)], -1)  # [p, 2]
 
         hposes = hposes_p[:n_pairs]
@@ -846,7 +850,8 @@ class TextFrontend:
         hp[O_real:, 0] = 1.0
         ms_p = padp(ms_r)
         ms_p[O_real:, 1] = 1.0
-        return ba.TextObs(
+        with phase("btx.rows"):
+          return ba.TextObs(
             tgt=jnp.asarray(padp(tgt)),
             host=jnp.asarray(padp(host)),
             host_frozen_pose=jnp.asarray(hp),

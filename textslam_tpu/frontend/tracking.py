@@ -742,13 +742,17 @@ class Tracker:
                     st = self._solve(cur, n_iters=n_it, huber_scene=huber)
                     break
                 with phase("ba.build_text_obs"):
+                  # ONE device->host pull of the pose block per level — a
+                  # per-pair np.asarray(cur.poses[sl]) list comprehension
+                  # here cost ~0.7 s/level in synced tunnel round-trips
+                  poses_np = np.asarray(cur.poses)
                   tobs = tf.build_text_obs(
                     tids=pairs["tids"],
                     target_slots=pairs["target_slots"],
                     host_slots=pairs["host_slots"],
                     host_in_window=pairs["host_in_window"],
                     host_poses=pairs["host_poses"],
-                    target_poses=[np.asarray(cur.poses[sl]) for sl in pairs["target_slots"]],
+                    target_poses=poses_np[np.asarray(pairs["target_slots"], np.int64)],
                     target_pyrs=imgs_p,
                     target_shapes=[shape] * len(pairs["tids"]),
                     level=level,
@@ -817,10 +821,14 @@ class Tracker:
         n_pairs = len(pairs["tids"])
         if n_pairs == 0 or prob.text is None:
             return
-        err, ok = ba.text_sample_errors(prob, pair_feat=F)
-        O_real = n_pairs * F
-        err = np.asarray(err)[:O_real].reshape(n_pairs, F, 8)
-        ok = np.asarray(ok)[:O_real].reshape(n_pairs, F, 8)
+        from ..utils.profiling import phase as _ph
+
+        with _ph("gate.sample_errors"):
+            err, ok = ba.text_sample_errors(prob, pair_feat=F)
+        with _ph("gate.pull"):
+            O_real = n_pairs * F
+            err = np.asarray(err)[:O_real].reshape(n_pairs, F, 8)
+            ok = np.asarray(ok)[:O_real].reshape(n_pairs, F, 8)
         chi = scfg.chi2_text_levels[level] if gate is None else gate
         used = ok.any(-1)  # features actually contributing at this level
         bad_feat = ((err > chi) & ok).any(-1) & used  # [n_pairs, F]
