@@ -83,57 +83,63 @@ def build_frame(
     from ..utils.profiling import phase
 
     imj = jnp.asarray(img, dtype=jnp.float32)
+    # dispatch BOTH extractions before any host pull: the pulls force a
+    # device sync, so pulling the scene keypoints between the two kernels
+    # serialized them on the tunneled TPU
     with phase("frame.orb"):
         kp = orb.extract_orb(
-        imj,
-        n_features=n_features or cfg.orb.n_features,
-        n_levels=cfg.orb.n_levels,
-        scale=cfg.orb.scale_factor,
-        threshold=float(cfg.orb.fast_threshold_min),
-    )
+            imj,
+            n_features=n_features or cfg.orb.n_features,
+            n_levels=cfg.orb.n_levels,
+            scale=cfg.orb.scale_factor,
+            threshold=float(cfg.orb.fast_threshold_min),
+        )
+    bkp = None
+    # in-box densification + boundary pruning (FeatExtracText +
+    # BoundFeatDele_T; these corners feed loop Sim3 text matching)
+    if detections and not cfg.no_text and cfg.orb.n_box_features > 0:
+        with phase("frame.box_orb"):
+            D = cfg.text.max_detections_per_frame
+            quads = np.zeros((D, 4, 2), np.float32)
+            qvalid = np.zeros(D, bool)
+            for i, det in enumerate(detections[:D]):
+                quads[i] = det.quad
+                qvalid[i] = True
+            bkp = orb.extract_box_orb(
+                imj, jnp.asarray(quads), jnp.asarray(qvalid),
+                n_keep=cfg.orb.n_box_features,
+                threshold=float(cfg.orb.fast_threshold_min),
+                shrink=cfg.orb.box_boundary_margin,
+            )
+    pyr_data = pyr_shapes = pyr_dev = None
+    packed = None
+    if with_pyramid and not cfg.no_text:
+        with phase("frame.pyramid"):
+            n_lv = max(cfg.pyramid.init_ba_levels) + 1
+            imgs, grads = pyramid.build_pyramid(imj, levels=n_lv)
+            packed = pyramid.pack_pyramid(imgs, grads)
+            # keep the DEVICE array: the photometric solvers consume level
+            # slices of it every frame / every BA build. The host mirror
+            # stays LAZY (host_pyr): the eager device->host pull of the
+            # ~15 MB packed pyramid measured 1.04 s/frame on the tunneled
+            # TPU — the single largest per-frame cost (bench_e2e phase
+            # table). It materializes only at keyframe eviction /
+            # checkpoint time.
+            pyr_dev = packed["data"]
+    with phase("frame.kp_pull"):
         kp_uv = np.asarray(kp.uv)
         kp_level = np.asarray(kp.level)
         kp_angle = np.asarray(kp.angle)
         kp_desc = np.asarray(kp.desc)
         kp_valid = np.asarray(kp.valid)
-    # in-box densification + boundary pruning (FeatExtracText +
-    # BoundFeatDele_T; these corners feed loop Sim3 text matching)
-    if detections and not cfg.no_text and cfg.orb.n_box_features > 0:
-      with phase("frame.box_orb"):
-          D = cfg.text.max_detections_per_frame
-          quads = np.zeros((D, 4, 2), np.float32)
-          qvalid = np.zeros(D, bool)
-          for i, det in enumerate(detections[:D]):
-              quads[i] = det.quad
-              qvalid[i] = True
-          bkp = orb.extract_box_orb(
-              imj, jnp.asarray(quads), jnp.asarray(qvalid),
-              n_keep=cfg.orb.n_box_features,
-              threshold=float(cfg.orb.fast_threshold_min),
-              shrink=cfg.orb.box_boundary_margin,
-          )
-          kp_uv = np.concatenate([kp_uv, np.asarray(bkp.uv)])
-          kp_level = np.concatenate([kp_level, np.asarray(bkp.level)])
-          kp_angle = np.concatenate([kp_angle, np.asarray(bkp.angle)])
-          kp_desc = np.concatenate([kp_desc, np.asarray(bkp.desc)])
-          kp_valid = np.concatenate([kp_valid, np.asarray(bkp.valid)])
-    pyr_data = pyr_shapes = pyr_dev = None
-    if with_pyramid and not cfg.no_text:
-      with phase("frame.pyramid"):
-        n_lv = max(cfg.pyramid.init_ba_levels) + 1
-        imgs, grads = pyramid.build_pyramid(imj, levels=n_lv)
-        packed = pyramid.pack_pyramid(imgs, grads)
-        # keep the DEVICE array: the photometric solvers consume level
-        # slices of it every frame / every BA build; re-uploading the ~15 MB
-        # packed pyramid from host was a dominant per-frame cost on the
-        # tunneled TPU (bench_e2e.py phase table). The numpy mirror stays
-        # for host bookkeeping (checkpointing, fallbacks).
-        pyr_dev = packed["data"]
-        # host mirror stays LAZY (host_pyr): the eager device->host pull of
-        # the ~15 MB packed pyramid measured 1.04 s/frame on the tunneled
-        # TPU — the single largest per-frame cost (bench_e2e phase table).
-        # It materializes only at keyframe eviction / checkpoint time.
-        pyr_shapes = np.asarray(packed["shapes"])
+        if bkp is not None:
+            kp_uv = np.concatenate([kp_uv, np.asarray(bkp.uv)])
+            kp_level = np.concatenate([kp_level, np.asarray(bkp.level)])
+            kp_angle = np.concatenate([kp_angle, np.asarray(bkp.angle)])
+            kp_desc = np.concatenate([kp_desc, np.asarray(bkp.desc)])
+            kp_valid = np.concatenate([kp_valid, np.asarray(bkp.valid)])
+        if packed is not None:
+            pyr_shapes = np.asarray(packed["shapes"])
     return Frame(
         frame_id=frame_id,
         timestamp=timestamp,
