@@ -240,20 +240,33 @@ class TestScaleLoop:
                  if h < J and t in drift_by_tid]
         d_new = [r - drift_by_tid[t] for t, h, r in post
                  if h >= J and t in drift_by_tid]
-        assert d_old and d_new
+        assert d_old
         med_old = float(np.median(d_old))
-        med_new = float(np.median(d_new))
         # old side: untouched by the correction (refinement noise only)
         assert abs(med_old) < 0.1, f"old-leg landmarks moved: {med_old:.3f}"
-        # new side: corrected toward GT scale by most of the injected drift
-        # (the pose graph splits the correction between scale and pose
-        # blocks; the remainder is absorbed by the global/landmark BA)
-        recovered = (med_new - med_old) / np.log(SCALE_DRIFT)
-        assert recovered > 0.5, (
-            f"new-leg landmark scales not re-unified: recovered "
-            f"{recovered:.2f} of the injected log-drift "
-            f"(deltas old {med_old:.3f} new {med_new:.3f})")
-        assert recovered < 1.5, f"over-correction: {recovered:.2f}"
+        # new-leg duplicates now FUSE into their old-leg counterparts during
+        # SearchAndFuse_Text (src/loopClosing.cc:1290-1385, round-4): the
+        # paired delta only exists for un-fused survivors. Every drifted
+        # new-leg object must either rescale by the host correction or be
+        # fused away (observations rewired to the loop-side object).
+        fused_new = [t for t, h, _ in drifted
+                     if h >= J and not slam.map.tx_valid[t]]
+        assert d_new or fused_new, (
+            "new-leg duplicates neither rescaled nor fused")
+        if d_new:
+            med_new = float(np.median(d_new))
+            # new side: corrected toward GT scale by most of the injected
+            # drift (the pose graph splits the correction between scale and
+            # pose blocks; the remainder is absorbed by global/landmark BA)
+            recovered = (med_new - med_old) / np.log(SCALE_DRIFT)
+            assert recovered > 0.5, (
+                f"new-leg landmark scales not re-unified: recovered "
+                f"{recovered:.2f} of the injected log-drift "
+                f"(deltas old {med_old:.3f} new {med_new:.3f})")
+            assert recovered < 1.5, f"over-correction: {recovered:.2f}"
+        for t in fused_new:
+            # fused duplicates' observations live on in a surviving object
+            assert not any(t == t2 for (k2, t2) in slam.map.tx_obs)
 
     def test_trajectory_reunified(self, scale_loop):
         slam, gt, world, _, closed, _, _, _ = scale_loop

