@@ -133,8 +133,14 @@ def _frontend_with_immature(monkeypatch, theta_result):
     tid = m.add_text(0, np.array([0, 0, -1.0], np.float32),
                      np.zeros((4, 2), np.float32), "CAFE", 0.9, 0,
                      state=TEXT_IMMATURE)
-    monkeypatch.setattr(tf, "_theta_optimize",
-                        lambda t, kfs, extra_target=None: theta_result)
+    theta, ok = theta_result
+
+    def batch_stub(imm, frame):
+        n = len(imm)
+        return (np.tile(theta, (n, 1)), np.full(n, ok, bool),
+                np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)))
+
+    monkeypatch.setattr(tf, "_theta_optimize_batch", batch_stub)
     monkeypatch.setattr(
         tf, "_gates",
         lambda pose, frame: (np.ones(m.n_texts, bool), np.ones(m.n_texts, bool)))
@@ -175,11 +181,14 @@ class TestImmatureLifecycle:
                   np.array([0.8, 0, -1.0], np.float32)]
         calls = {"n": 0}
 
-        def flip(t, kfs, extra_target=None):
+        def flip(imm, frame):
             calls["n"] += 1
-            return thetas[calls["n"] % 2], True
+            th = thetas[calls["n"] % 2]
+            n = len(imm)
+            return (np.tile(th, (n, 1)), np.full(n, True, bool),
+                    np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)))
 
-        tf._theta_optimize = flip
+        tf._theta_optimize_batch = flip
         for _ in range(6):
             tf._update_immature(_FakeFrame())
         assert m.tx_state[tid] == TEXT_IMMATURE
