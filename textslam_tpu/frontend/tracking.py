@@ -52,6 +52,15 @@ def _pad(a: np.ndarray, n: int, fill=0):
     return np.pad(a, pad_width, constant_values=fill)
 
 
+def budget_select(track_len: np.ndarray, cap: int) -> np.ndarray:
+    """Indices of the `cap` observations to KEEP under the per-KF residual
+    budget: longest-tracked points first (the most-constrained landmarks
+    contribute the most useful residuals), ties keeping keypoint order.
+    Returned sorted so downstream arrays stay in keypoint-index order."""
+    order = np.argsort(-track_len, kind="stable")[:cap]
+    return np.sort(order)
+
+
 def _pad_pose(a: np.ndarray, n: int):
     """Pad pose arrays with identity quaternions (a zero quaternion is
     degenerate and NaNs every downstream rotation)."""
@@ -639,10 +648,16 @@ class Tracker:
             sel, pids = sel[keep], pids[keep]
             if len(sel) == 0:
                 continue
-            if len(sel) > self.cfg.map.max_obs_per_kf:
-                # per-KF residual budget (bounds the padded batch tier)
-                sel = sel[: self.cfg.map.max_obs_per_kf]
-                pids = pids[: self.cfg.map.max_obs_per_kf]
+            cap = self.cfg.map.max_obs_per_kf
+            if len(sel) > cap:
+                # per-KF residual budget (bounds the padded batch tier):
+                # keep the longest-tracked points, never silently the
+                # first-indexed (SURVEY "no silent caps"; VERDICT r3 weak #4)
+                keep = budget_select(m.pt_n_obs[pids], cap)
+                print(f"[ba] KF {kid}: residual budget keeps "
+                      f"{cap}/{len(sel)} obs by track length "
+                      f"({len(sel) - cap} dropped)")
+                sel, pids = sel[keep], pids[keep]
             hosts = m.pt_host[pids]
             tgt_a.append(np.full(len(sel), slot_arr[kid], np.int32))
             host_a.append(slot_arr[hosts])
