@@ -80,3 +80,59 @@ class TestCheckpoint:
         np.testing.assert_array_equal(m2.pt_n_obs[:n], slam.map.pt_n_obs[:n])
         np.testing.assert_array_equal(m2.pt_desc_latest[:n], m2.pt_desc[:n])
         assert np.isinf(m2.tx_sem_score).all()
+
+    def test_legacy_checkpoint_backfills_tx_num_obvs(self, tmp_path):
+        """Pre-r3 checkpoints lack tx_num_obvs: IMMATURE objects backfill
+        their maturation counter from tx_good_obs and GOOD objects get at
+        least min_obs_promote, so promotion isn't delayed after resume
+        (ADVICE r3 #3)."""
+        from textslam_tpu.mapper.state import SlamMap, TEXT_GOOD, TEXT_IMMATURE
+
+        cfg = make_cfg()
+        m = SlamMap(cfg)
+        t_good = m.add_text(0, np.array([0, 0, -0.5], np.float32),
+                            np.zeros((4, 2), np.float32), "EXIT", 0.9, 0,
+                            state=TEXT_GOOD)
+        t_imm = m.add_text(0, np.array([0, 0, -0.5], np.float32),
+                           np.zeros((4, 2), np.float32), "CAFE", 0.9, 0,
+                           state=TEXT_IMMATURE)
+        m.tx_good_obs[t_good] = 1
+        m.tx_good_obs[t_imm] = 3
+        m.tx_num_obvs[t_good] = 9
+        m.tx_num_obvs[t_imm] = 3
+        ckpt = str(tmp_path / "map.npz")
+        checkpoint.save(ckpt, m)
+        z = dict(np.load(ckpt, allow_pickle=False))
+        z.pop("tx_num_obvs")
+        np.savez_compressed(ckpt, **z)
+
+        m2 = checkpoint.load(ckpt, cfg)
+        assert m2.tx_num_obvs[t_imm] == 3  # from tx_good_obs
+        assert m2.tx_num_obvs[t_good] >= cfg.text.min_obs_promote
+
+    def test_resume_restores_window_pyr_dev(self, tmp_path):
+        """Window KFs re-enter device residency on load (ADVICE r3 #1)."""
+        from textslam_tpu.mapper.state import SlamMap, Keyframe
+
+        cfg = make_cfg()
+        m = SlamMap(cfg)
+        T0 = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        for k in range(3):
+            kf = Keyframe(
+                kid=k, frame_id=k, timestamp=float(k),
+                kp_uv=np.zeros((4, 2), np.float32),
+                kp_level=np.zeros(4, np.int32),
+                kp_angle=np.zeros(4, np.float32),
+                kp_desc=np.zeros((4, 8), np.uint32),
+                kp_valid=np.ones(4, bool),
+                kp_point=np.full(4, -1, np.int32),
+                obs_good=np.zeros(4, bool),
+                pyr_data=np.ones((4, 16, 16, 3), np.float32),
+                pyr_shapes=np.array([[16, 16]] * 4, np.int32),
+            )
+            m.add_keyframe(kf, T0)
+        ckpt = str(tmp_path / "map.npz")
+        checkpoint.save(ckpt, m)
+        m2 = checkpoint.load(ckpt, cfg)
+        assert all(kf.pyr_data is not None for kf in m2.keyframes)
+        assert all(kf.pyr_dev is not None for kf in m2.keyframes)

@@ -125,11 +125,11 @@ def disk_dataset(tmp_path_factory):
     return root, gt_poses
 
 
-def run_main(yaml_path, out_dir):
+def run_main(yaml_path, out_dir, *extra_args):
     import main as main_mod
 
     argv0 = sys.argv
-    sys.argv = ["main.py", str(yaml_path), str(out_dir)]
+    sys.argv = ["main.py", str(yaml_path), str(out_dir)] + list(extra_args)
     try:
         rc = main_mod.main()
     finally:
@@ -205,3 +205,55 @@ class TestCLIDressRehearsal:
         c = (slice(120, 360), slice(160, 480))
         err = np.abs(img[c] - ideal[c]).mean()
         assert err < 6.0, f"undistortion mean abs error {err:.2f} gray"
+
+
+class TestCLICheckpointResume:
+    """--checkpoint-every / --resume dress rehearsal (VERDICT r3 next #10):
+    a run killed mid-sequence and resumed from its checkpoint must match the
+    uninterrupted run."""
+
+    def test_resume_matches_uninterrupted(self, disk_dataset, tmp_path):
+        root, gt_poses = disk_dataset
+        # noText: the scene path is deterministic after resume (the text
+        # path's KLT accumulator is deliberately not serialized, so text-on
+        # resumes are correct-but-not-bitwise; covered by the smoke test)
+        write_yaml(root / "nt_full.yaml", 0, str(root), "Imlist", no_text=1)
+        write_yaml(root / "nt_short.yaml", 0, str(root), "Imshort", no_text=1)
+        from textslam_tpu.io import trajectory
+
+        out_a = tmp_path / "uninterrupted"
+        run_main(root / "nt_full.yaml", out_a)
+        # "interrupted": the 12-frame prefix run checkpoints at frame 11,
+        # then the full-list run resumes at frame 12
+        out_b = tmp_path / "resumed"
+        run_main(root / "nt_short.yaml", out_b, "--checkpoint-every", "6")
+        assert (out_b / "checkpoint.npz").exists()
+        run_main(root / "nt_full.yaml", out_b, "--resume")
+
+        ts_a, p_a = trajectory.read_tum(str(out_a / "keyframe.txt"))
+        ts_b, p_b = trajectory.read_tum(str(out_b / "keyframe.txt"))
+        assert len(ts_a) >= 3
+        assert len(ts_a) == len(ts_b) and np.allclose(ts_a, ts_b), (
+            "resumed run chose different keyframes")
+        d = np.abs(np.asarray(p_a) - np.asarray(p_b)).max()
+        assert d < 1e-3, f"resumed trajectory diverged: max pose diff {d}"
+        # pose_F covers the WHOLE sequence (restored prefix + resumed tail)
+        ts_f, _ = trajectory.read_tum(str(out_b / "pose_F.txt"))
+        assert len(ts_f) >= len(ts_a)
+
+    def test_resume_with_text_smoke(self, disk_dataset, tmp_path):
+        """Text-on resume keeps tracking and lands a sane ATE."""
+        root, gt_poses = disk_dataset
+        write_yaml(root / "t_short.yaml", 0, str(root), "Imshort")
+        out = tmp_path / "resumed_text"
+        run_main(root / "t_short.yaml", out, "--checkpoint-every", "6")
+        run_main(root / "exp0.yaml", out, "--resume")
+        from textslam_tpu.io import trajectory
+        import jax.numpy as jnp
+        from textslam_tpu.geometry import se3
+
+        ts, poses_wc = trajectory.read_tum(str(out / "keyframe.txt"))
+        assert len(ts) >= 3
+        poses_cw = np.asarray(se3.inverse(jnp.asarray(np.asarray(poses_wc))))
+        ate = synth.ate_rmse([t * 10.0 for t in ts], poses_cw, gt_poses)
+        assert ate < 0.05, f"text-on resumed ATE {ate:.4f}"

@@ -95,9 +95,20 @@ def save(path: str, slam_map: SlamMap, tracker=None, text_frontend=None, extra: 
         blobs["tf_box_int"] = text_frontend.tx_box_int
         blobs["tf_box_valid"] = text_frontend.tx_box_valid
         blobs["tf_host_stats"] = text_frontend.tx_host_stats
+        # PRNG stream position: theta-RANSAC draws after resume must
+        # continue the uninterrupted run's sequence
+        blobs["tf_key"] = np.asarray(text_frontend._key)
 
     blobs["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **blobs)
+
+
+def read_extra(path: str) -> dict:
+    """The caller-supplied `extra` dict of a checkpoint (e.g. the frame
+    index the CLI resume loop should continue from) without loading the map."""
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    return meta.get("extra", {})
 
 
 def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
@@ -184,6 +195,28 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
     if "pt_desc_latest" not in z:
         m.pt_desc_latest[: m.n_points] = m.pt_desc[: m.n_points]
         m.pt_desc_second[: m.n_points] = m.pt_desc[: m.n_points]
+    if "tx_num_obvs" not in z:
+        # legacy checkpoint (pre-r3): backfill the frame-cadence maturation
+        # counter so in-flight IMMATURE objects don't restart their
+        # min_obs_promote wait after resume (ADVICE r3 #3). Best available
+        # proxy: the good-observation counter; objects already GOOD get the
+        # promotion threshold outright.
+        from .state import TEXT_GOOD as _GOOD
+
+        n = m.n_texts
+        m.tx_num_obvs[:n] = m.tx_good_obs[:n]
+        promoted = m.tx_state[:n] == _GOOD
+        m.tx_num_obvs[:n][promoted] = np.maximum(
+            m.tx_num_obvs[:n][promoted], cfg.text.min_obs_promote)
+    # re-populate device pyramid residency for the BA-window KFs (pyr_dev is
+    # never serialized; leaving it None would re-upload ~15 MB per KF on the
+    # first post-resume BA build, ADVICE r3 #1)
+    keep = cfg.solver.ba_window + 8
+    for kf in m.keyframes[-keep:]:
+        if kf.pyr_data is not None:
+            import jax.numpy as jnp
+
+            kf.pyr_dev = jnp.asarray(kf.pyr_data)
 
     if tracker is not None and "tracker" in meta:
         tm = meta["tracker"]
@@ -205,4 +238,8 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
         text_frontend.tx_box_valid = z["tf_box_valid"].copy()
         text_frontend.tx_host_stats = z["tf_host_stats"].copy()
         text_frontend.map = m
+        if "tf_key" in z:
+            import jax.numpy as jnp
+
+            text_frontend._key = jnp.asarray(z["tf_key"])
     return m

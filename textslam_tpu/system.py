@@ -69,6 +69,45 @@ class TextSLAM:
         ok = self.tracker.process(frame)
         return frame.pose if ok else None
 
+    def save_checkpoint(self, path: str, extra: Optional[dict] = None):
+        """Serialize the full resumable state (map, tracker motion state,
+        text-frontend reference buffers, loop bookkeeping). The reference has
+        no analog (its only durable artifact is the rewritten trajectory,
+        src/tracking.cc:2564-2586); SURVEY §5 names real checkpoint/resume a
+        required subsystem of this framework."""
+        from .mapper import checkpoint
+
+        ex = {"frame_count": int(self.frame_count),
+              "last_loop_kid": int(self.loop_closer.last_loop_kid),
+              "closed_loops": [list(p) for p in self.loop_closer.closed_loops],
+              "loop_key": np.asarray(self.loop_closer._key).tolist()}
+        ex.update(extra or {})
+        checkpoint.save(path, self.map, tracker=self.tracker,
+                        text_frontend=self.tracker.text_frontend, extra=ex)
+
+    def load_checkpoint(self, path: str) -> dict:
+        """Restore from save_checkpoint; returns the stored extra dict.
+        KLT new-text tracks restart at the next keyframe (the accumulator
+        holds device pyramids and is deliberately not serialized)."""
+        from .mapper import checkpoint
+
+        self.map = checkpoint.load(path, self.cfg, tracker=self.tracker,
+                                   text_frontend=self.tracker.text_frontend)
+        self.tracker.map = self.map
+        self.loop_closer.map = self.map
+        ex = checkpoint.read_extra(path)
+        self.frame_count = int(ex.get("frame_count", 0))
+        self.loop_closer.last_loop_kid = int(
+            ex.get("last_loop_kid", self.loop_closer.last_loop_kid))
+        self.loop_closer.closed_loops = [
+            tuple(p) for p in ex.get("closed_loops", [])]
+        if "loop_key" in ex:
+            import jax.numpy as jnp
+
+            self.loop_closer._key = jnp.asarray(ex["loop_key"],
+                                                dtype=jnp.uint32)
+        return ex
+
     def record_keyframes(self, path: str):
         """Write the keyframe trajectory in TUM format."""
         kfs = self.map.keyframes
