@@ -43,19 +43,19 @@ def result():
     slam = TextSLAM(make_cfg())
     tr = slam.tracker
 
-    orig_match = tr._match_map
     amnesia = {"cutoff": None}
 
-    def match_with_amnesia(frame, guess, radius_scale=1.0):
-        pids, idx, ok = orig_match(frame, guess, radius_scale)
+    # candidate-mask hook (the supported injection point since the track
+    # chain fused into one program): forget points hosted before the cutoff
+    def amnesia_hook(pt_valid):
         cut = amnesia["cutoff"]
         if cut is not None:
             m = slam.map
-            host = np.where(pids < m.n_points, m.pt_host[pids.clip(0, max(m.n_points - 1, 0))], -1)
-            ok = ok & ~((host >= 0) & (host < cut))
-        return pids, idx, ok
+            n = min(m.n_points, len(pt_valid))
+            pt_valid[:n] &= ~(m.pt_host[:n] < cut)
+        return pt_valid
 
-    tr._match_map = match_with_amnesia
+    tr.pt_candidate_hook = amnesia_hook
 
     tf = tr.text_frontend
     orig_gates = tf._gates
@@ -91,19 +91,21 @@ def result():
     # per-frame matcher consumes — loop-side (old leg) points must re-enter
     post_loop_hosts = []
     if slam.loop_closer.closed_loops:
-        def match_recording(frame, guess, radius_scale=1.0):
-            pids, idx, ok = orig_match(frame, guess, radius_scale)
+        orig_fused = tr._fused_track
+
+        def fused_recording(frame, guess, radius_scale=1.0):
+            pose, kp_idx, ok, inlier, n1 = orig_fused(frame, guess, radius_scale)
             m = slam.map
-            sel = pids[ok]
+            sel = np.nonzero(ok)[0]
             sel = sel[sel < m.n_points]
             post_loop_hosts.append(m.pt_host[sel].copy())
-            return pids, idx, ok
+            return pose, kp_idx, ok, inlier, n1
 
-        tr._match_map = match_recording
+        tr._fused_track = fused_recording
         # original timestamps: any KF inserted here still indexes valid GT
         for i in range(len(frames) - 3, len(frames)):
             slam.track_monocular(frames[i], float(i), detections=dets[i])
-        tr._match_map = match_with_amnesia
+        tr._fused_track = orig_fused
     return slam, gt, world, post_loop_hosts
 
 

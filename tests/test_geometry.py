@@ -204,3 +204,49 @@ class TestCameraTriangulate:
         ray2 = r2 / r2[..., 2:3]
         got = triangulate.triangulate(ray1, ray2, T1, T2)
         np.testing.assert_allclose(np.array(got), np.array(P_w), atol=1e-3)
+
+
+class TestSe3NpParity:
+    """geometry.se3_np must bit-track geometry.se3 (host glue twins)."""
+
+    def _rand_pose(self, rng):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        return np.concatenate([q, rng.normal(size=3)]).astype(np.float32)
+
+    def test_all_ops(self):
+        from textslam_tpu.geometry import se3, se3_np
+
+        rng = np.random.default_rng(11)
+        A = self._rand_pose(rng)
+        B = self._rand_pose(rng)
+        p = rng.normal(size=(5, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            se3_np.compose(A, B), np.asarray(se3.compose(jnp.asarray(A), jnp.asarray(B))), atol=1e-6)
+        np.testing.assert_allclose(
+            se3_np.inverse(A), np.asarray(se3.inverse(jnp.asarray(A))), atol=1e-6)
+        np.testing.assert_allclose(
+            se3_np.relative(A, B), np.asarray(se3.relative(jnp.asarray(A), jnp.asarray(B))), atol=1e-6)
+        np.testing.assert_allclose(
+            se3_np.apply(A, p), np.asarray(se3.apply(jnp.asarray(A), jnp.asarray(p))), atol=1e-5)
+        np.testing.assert_allclose(se3_np.identity(), np.asarray(se3.identity()), atol=0)
+
+    def test_camera_and_rotmat(self):
+        from textslam_tpu.geometry import se3_np
+        from textslam_tpu.geometry.camera import project, unproject
+        from textslam_tpu.geometry.quaternion import qto_matrix
+
+        rng = np.random.default_rng(12)
+        q = rng.normal(size=4).astype(np.float32)
+        q /= np.linalg.norm(q)
+        np.testing.assert_allclose(
+            se3_np.qto_matrix(q), np.asarray(qto_matrix(jnp.asarray(q))), atol=1e-6)
+        uv = rng.uniform(0, 640, size=(7, 2)).astype(np.float32)
+        np.testing.assert_allclose(
+            se3_np.unproject(uv, 500.0, 501.0, 320.0, 240.0),
+            np.asarray(unproject(jnp.asarray(uv), 500.0, 501.0, 320.0, 240.0)), atol=1e-6)
+        p = rng.normal(size=(7, 3)).astype(np.float32)
+        p[:, 2] += 3.0
+        np.testing.assert_allclose(
+            se3_np.project(p, 500.0, 501.0, 320.0, 240.0),
+            np.asarray(project(jnp.asarray(p), 500.0, 501.0, 320.0, 240.0)), atol=1e-4)

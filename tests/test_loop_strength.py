@@ -83,20 +83,17 @@ def run_with_amnesia(cfg, n_frames=32, kind="outback", seed=0,
     if not loop_online:
         slam.loop_closer.last_loop_kid = 10**9  # block online closing
 
-    orig_match = tr._match_map
     amnesia = {"cutoff": None}
 
-    def match_with_amnesia(frame, guess, radius_scale=1.0):
-        pids, idx, ok = orig_match(frame, guess, radius_scale)
+    def amnesia_hook(pt_valid):
         cut = amnesia["cutoff"]
         if cut is not None:
             m = slam.map
-            host = np.where(pids < m.n_points,
-                            m.pt_host[pids.clip(0, max(m.n_points - 1, 0))], -1)
-            ok = ok & ~((host >= 0) & (host < cut))
-        return pids, idx, ok
+            n = min(m.n_points, len(pt_valid))
+            pt_valid[:n] &= ~(m.pt_host[:n] < cut)
+        return pt_valid
 
-    tr._match_map = match_with_amnesia
+    tr.pt_candidate_hook = amnesia_hook
     tf = tr.text_frontend
     orig_gates = tf._gates
 
@@ -124,7 +121,7 @@ def run_with_amnesia(cfg, n_frames=32, kind="outback", seed=0,
             boundary_kid = len(slam.map.keyframes)
         slam.track_monocular(img, float(i), detections=dets[i])
     amnesia["cutoff"] = None
-    tr._match_map = orig_match
+    tr.pt_candidate_hook = None
     tf._gates = orig_gates
     return slam, gt, world, boundary_kid
 
@@ -350,19 +347,16 @@ class TestMultiLoop:
         tr = slam.tracker
         m = slam.map
 
-        orig_match = tr._match_map
         amnesia = {"cutoff": None}
 
-        def match_with_amnesia(frame, guess, radius_scale=1.0):
-            pids, idx, ok = orig_match(frame, guess, radius_scale)
+        def amnesia_hook(pt_valid):
             cut = amnesia["cutoff"]
             if cut is not None:
-                host = np.where(pids < m.n_points,
-                                m.pt_host[pids.clip(0, max(m.n_points - 1, 0))], -1)
-                ok = ok & ~((host >= 0) & (host < cut))
-            return pids, idx, ok
+                n = min(m.n_points, len(pt_valid))
+                pt_valid[:n] &= ~(m.pt_host[:n] < cut)
+            return pt_valid
 
-        tr._match_map = match_with_amnesia
+        tr.pt_candidate_hook = amnesia_hook
         tf = tr.text_frontend
         orig_gates = tf._gates
 

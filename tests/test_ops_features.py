@@ -260,3 +260,24 @@ class TestBoxORB:
         f_no = build_frame(cfg, img, 0, 0.0, detections=None, with_pyramid=False)
         f_yes = build_frame(cfg, img, 0, 0.0, detections=[det], with_pyramid=False)
         assert f_yes.kp_uv.shape[0] == f_no.kp_uv.shape[0] + cfg.orb.n_box_features
+
+
+class TestPackKeypoints:
+    def test_roundtrip(self):
+        """pack_keypoints -> unpack_keypoints_np is lossless (desc bits
+        survive the f32 bitcast round-trip)."""
+        from textslam_tpu.ops import orb
+
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((128, 160), np.float32))
+        kp = orb.extract_orb(img, n_features=64, n_levels=2)
+        packed = np.asarray(orb.pack_keypoints(kp, kp))
+        uv, level, angle, score, valid, desc = orb.unpack_keypoints_np(packed)
+        n = int(kp.uv.shape[0])
+        assert packed.shape == (2 * n, 14)
+        np.testing.assert_allclose(uv[:n], np.asarray(kp.uv), atol=0)
+        np.testing.assert_array_equal(level[:n], np.asarray(kp.level))
+        np.testing.assert_allclose(angle[:n], np.asarray(kp.angle), atol=0)
+        np.testing.assert_array_equal(valid[:n], np.asarray(kp.valid))
+        np.testing.assert_array_equal(desc[:n], np.asarray(kp.desc))
+        np.testing.assert_array_equal(desc[n:], np.asarray(kp.desc))

@@ -37,12 +37,17 @@ class Frame:
     frame_id: int
     timestamp: float
     shape: tuple  # (H, W)
-    # padded keypoint SoA (numpy mirrors)
-    kp_uv: np.ndarray
-    kp_level: np.ndarray
-    kp_angle: np.ndarray
-    kp_desc: np.ndarray
-    kp_valid: np.ndarray
+    # padded keypoint SoA (numpy mirrors — LAZY when kp_packed_dev is set:
+    # the packed device pool is the primary copy and the host mirror
+    # materializes on first access via ensure_host_kp, so non-keyframe
+    # frames never pay the readback round-trip)
+    kp_uv: Optional[np.ndarray] = None
+    kp_level: Optional[np.ndarray] = None
+    kp_angle: Optional[np.ndarray] = None
+    kp_desc: Optional[np.ndarray] = None
+    kp_valid: Optional[np.ndarray] = None
+    # packed [N, 14] device keypoint pool (ops.orb.pack_keypoints layout)
+    kp_packed_dev: Optional[object] = None
     # direct pyramid (packed) for photometric text alignment
     pyr_data: Optional[np.ndarray] = None  # [L, H, W, 3]
     pyr_shapes: Optional[np.ndarray] = None  # [L, 2]
@@ -54,7 +59,51 @@ class Frame:
 
     @property
     def n_valid(self) -> int:
+        ensure_host_kp(self)
         return int(self.kp_valid.sum())
+
+
+def ensure_host_kp(frame) -> None:
+    """Materialize (once) the host keypoint mirror from the packed device
+    pool. One packed readback; no-op when the mirror already exists."""
+    if frame.kp_uv is not None or getattr(frame, "kp_packed_dev", None) is None:
+        return
+    from ..ops import orb
+    from ..utils.profiling import phase
+
+    with phase("frame.kp_pull"):
+        packed = np.asarray(frame.kp_packed_dev)
+    uv, level, angle, _, valid, desc = orb.unpack_keypoints_np(packed)
+    frame.kp_uv = uv
+    frame.kp_level = level
+    frame.kp_angle = angle
+    frame.kp_desc = desc
+    frame.kp_valid = valid
+
+
+def packed_kp_dev(frame):
+    """The packed [N, 14] device keypoint pool of a Frame, building it from
+    the host mirror when the frame wasn't device-built (tests, replays)."""
+    if getattr(frame, "kp_packed_dev", None) is not None:
+        return frame.kp_packed_dev
+    import jax
+    import jax.numpy as jnp
+
+    desc_f = jax.lax.bitcast_convert_type(
+        jnp.asarray(frame.kp_desc, dtype=jnp.uint32), jnp.float32)
+    packed = jnp.concatenate([
+        jnp.asarray(frame.kp_uv, dtype=jnp.float32),
+        jnp.asarray(frame.kp_level, dtype=jnp.float32)[:, None],
+        jnp.asarray(frame.kp_angle, dtype=jnp.float32)[:, None],
+        jnp.zeros((frame.kp_uv.shape[0], 1), jnp.float32),
+        jnp.asarray(frame.kp_valid, dtype=jnp.float32)[:, None],
+        desc_f,
+    ], axis=1)
+    try:
+        frame.kp_packed_dev = packed
+    except Exception:
+        pass
+    return packed
 
 
 def host_pyr(obj) -> Optional[np.ndarray]:
@@ -126,29 +175,18 @@ def build_frame(
             # table). It materializes only at keyframe eviction /
             # checkpoint time.
             pyr_dev = packed["data"]
-    with phase("frame.kp_pull"):
-        kp_uv = np.asarray(kp.uv)
-        kp_level = np.asarray(kp.level)
-        kp_angle = np.asarray(kp.angle)
-        kp_desc = np.asarray(kp.desc)
-        kp_valid = np.asarray(kp.valid)
-        if bkp is not None:
-            kp_uv = np.concatenate([kp_uv, np.asarray(bkp.uv)])
-            kp_level = np.concatenate([kp_level, np.asarray(bkp.level)])
-            kp_angle = np.concatenate([kp_angle, np.asarray(bkp.angle)])
-            kp_desc = np.concatenate([kp_desc, np.asarray(bkp.desc)])
-            kp_valid = np.concatenate([kp_valid, np.asarray(bkp.valid)])
-        if packed is not None:
-            pyr_shapes = np.asarray(packed["shapes"])
+    # keypoints stay DEVICE-RESIDENT as one packed pool; the host mirror
+    # materializes lazily (ensure_host_kp) — only keyframes and the init
+    # path ever need it, so steady non-KF frames skip the readback entirely
+    pools = (kp,) if bkp is None else (kp, bkp)
+    kpk_dev = orb.pack_keypoints(*pools)
+    if packed is not None:
+        pyr_shapes = np.asarray(packed["shapes"])
     return Frame(
         frame_id=frame_id,
         timestamp=timestamp,
         shape=img.shape,
-        kp_uv=kp_uv,
-        kp_level=kp_level,
-        kp_angle=kp_angle,
-        kp_desc=kp_desc,
-        kp_valid=kp_valid,
+        kp_packed_dev=kpk_dev,
         pyr_data=pyr_data,
         pyr_shapes=pyr_shapes,
         pyr_dev=pyr_dev,

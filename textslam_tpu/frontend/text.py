@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TextSLAMConfig
-from ..geometry import se3, plane
+from ..geometry import se3, se3_np, plane
 from ..geometry.camera import project, unproject
 from ..ops import rasterize, klt
 from ..ops.interp import bilinear
@@ -56,19 +56,23 @@ def pad_tier(n: int, minimum: int = 16) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n_feat",))
-def extract_text_features(level_img, level_grad, quad, mu, sigma, n_feat: int):
+def extract_text_features(level_img, level_grad, quad, mu, sigma, n_feat: int,
+                          valid_shape=None):
     """Select the n_feat strongest-gradient in-box pixels and record their
     8-sample normalized reference intensities.
 
     level_img [H, W], level_grad [H, W, 2], quad [4, 2] (level px), host box
-    stats (mu, sigma). Returns (uv [F, 2], ref [F, 8], valid [F])."""
+    stats (mu, sigma). valid_shape (h, w) gates the in-image test to the
+    true level extent when level_img is a padded pyramid slice.
+    Returns (uv [F, 2], ref [F, 8], valid [F])."""
     H, W = level_img.shape
+    h, w = (H, W) if valid_shape is None else valid_shape
     mask = rasterize.quad_mask(quad, H, W)
     gmag = jnp.abs(level_grad[..., 0]) + jnp.abs(level_grad[..., 1])
     # keep the pattern inside the image
     u = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    inb = (u >= 2) & (u < W - 2) & (v >= 2) & (v < H - 2)
+    inb = (u >= 2) & (u < w - 2) & (v >= 2) & (v < h - 2)
     score = jnp.where(mask & inb, gmag, 0.0)
     flat = score.reshape(-1)
     vals, idx = jax.lax.top_k(flat, n_feat)
@@ -80,6 +84,60 @@ def extract_text_features(level_img, level_grad, quad, mu, sigma, n_feat: int):
     inten, ok = bilinear(level_img, pos)
     ref = (inten - mu) / sigma
     return uv, ref, valid & ok.all(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "n_feat", "n_box"))
+def _extract_reference_kernel(pyr_dev, shapes, quad0,
+                              n_levels: int, n_feat: int, n_box: int):
+    """All per-level reference features + the level-0 ZNCC box subsample of
+    ONE new text object in a single program with a single packed output.
+
+    The per-level host loop this replaces paid ~5 device->host readbacks per
+    level plus a dense-mask pull (~20 round-trips per created object).
+    pyr_dev [L, H, W, 3] packed pyramid, shapes [L, 2] true extents,
+    quad0 [4, 2] level-0 px. Returns one flat f32 vector laid out as
+    [uv (L*F*2) | ref (L*F*8) | valid (L*F) | mu_sigma (L*2) |
+     box_uv (n_box*2) | box_int (n_box) | box_valid (n_box)]."""
+    uvs, refs, vals, mss = [], [], [], []
+    for l in range(n_levels):
+        img = pyr_dev[l, :, :, 0]
+        grad = pyr_dev[l, :, :, 1:3]
+        h, w = shapes[l, 0], shapes[l, 1]
+        quad_l = quad0 / (2.0 ** l)
+        mu, sigma, _ = rasterize.quad_stats(img, quad_l, valid_shape=(h, w))
+        uv, ref, valid = extract_text_features(
+            img, grad, quad_l, mu, sigma, n_feat, valid_shape=(h, w))
+        uvs.append(uv)
+        refs.append(ref)
+        vals.append(valid)
+        mss.append(jnp.stack([mu, sigma]))
+    # level-0 box pixels for the ZNCC gate: the same evenly-strided row-major
+    # subsample the host path took (ys[::stride][:B])
+    H, W = pyr_dev.shape[1:3]
+    img0 = pyr_dev[0, :, :, 0]
+    u = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    inb = (u < shapes[0, 1]) & (v < shapes[0, 0])
+    mask = (rasterize.quad_mask(quad0, H, W) & inb).reshape(-1)
+    rank = jnp.cumsum(mask) - 1  # row-major index among in-box pixels
+    n = mask.sum()
+    stride = jnp.maximum(1, n // n_box)
+    sel = mask & (rank % stride == 0) & (rank // stride < n_box)
+    BIG = jnp.int32(2**30)
+    key = jnp.where(sel, (rank // stride).astype(jnp.int32), BIG)
+    order = jnp.argsort(key)[:n_box]
+    bvalid = key[order] < BIG
+    by = order // W
+    bx = order - by * W
+    bint = img0.reshape(-1)[order]
+    return jnp.concatenate([
+        jnp.stack(uvs).reshape(-1), jnp.stack(refs).reshape(-1),
+        jnp.stack(vals).astype(jnp.float32).reshape(-1),
+        jnp.stack(mss).reshape(-1),
+        jnp.stack([bx, by], -1).astype(jnp.float32).reshape(-1),
+        bint,
+        bvalid.astype(jnp.float32),
+    ])
 
 
 @jax.jit
@@ -167,6 +225,24 @@ def _gates_kernel(pose_cw, quads, thetas, host_poses, live,
     sc, n = _zg(box_int, box_valid & (p_c[..., 2] > 0.05), img0, uv_c)
     full = geo & (sc >= zncc_min) & (n >= 16)
     return geo, full, sc
+
+
+@functools.partial(jax.jit, static_argnames=("n_feat",))
+def _seed_features_kernel(img0, grad0, quads, n_feat: int):
+    """In-box strongest-gradient seed features for ALL unmapped boxes of a
+    KF in one program (one packed readback instead of 2 per box).
+
+    img0/grad0: level-0 image + gradients; quads [D, 4, 2].
+    Returns flat f32 [D*F*2 + D*F]: uv then valid."""
+
+    def one(q):
+        mu, sigma, _ = rasterize.quad_stats(img0, q)
+        uv, _, val = extract_text_features(img0, grad0, q, mu, sigma, n_feat)
+        return uv, val
+
+    uvs, vals = jax.vmap(one)(quads)
+    return jnp.concatenate(
+        [uvs.reshape(-1), vals.astype(jnp.float32).reshape(-1)])
 
 
 @jax.jit
@@ -293,6 +369,65 @@ def fused_pose_refine(pose0, scene, rho, theta, host_poses, quads0,
                          huber_text=huber_text, text_pair_feat=F)
         pose = st.poses[0]
     return pose
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "n_iters", "huber_scene", "huber_text",
+                     "weight_text", "width", "height"))
+def fused_text_frame(pose0, scene, rho, kp_packed, kp_sel,
+                     quads, thetas, hposes, live, good_state,
+                     box_uv, box_int, box_valid,
+                     feat_uv, feat_ref, feat_valid,
+                     imgs_levels, img0,
+                     fx, fy, cx, cy, margin, cos_min, zncc_min,
+                     width: int, height: int, levels: tuple, n_iters: int,
+                     huber_scene: float, huber_text: float,
+                     weight_text: float):
+    """The per-frame text hook in ONE program: TextJudge gates → joint
+    scene+text pose refinement over all GOOD fully-visible objects →
+    re-gate at the refined pose (the on_frame_tracked chain,
+    src/tracking.cc:431-448). Replaces 3 dispatch+readback rounds with one
+    packed [3, R] f32 output (R = max(pool tier, 16)): row0 = geo mask,
+    row1 = full mask, row2 = [pose(7), finest-level text rows, any_vis].
+
+    All object inputs are the PADDED pool [Tt] with validity masks — the
+    refine sees obj_valid = full_gate & GOOD computed in-kernel, so no
+    host-side compaction (and no readback) sits between gating and
+    refinement. When nothing is visible the refined pose is discarded in
+    favor of pose0 (parity with the host path that skipped the solve)."""
+    # scene uv gathered from the packed device keypoint pool (the host
+    # mirror never materializes on non-KF frames)
+    scene = scene._replace(uv=kp_packed[kp_sel, 0:2])
+    geo1, full1, _ = _gates_kernel(
+        pose0, quads, thetas, hposes, live, box_uv, box_int, box_valid,
+        img0, fx, fy, cx, cy, margin, cos_min, zncc_min, width, height)
+    vis = full1 & good_state
+    # one 8-dim row per valid finest-level feature (num_t_residual analog)
+    text_rows = (feat_valid[:, 0] & vis[:, None]).sum()
+    pose_ref = fused_pose_refine(
+        pose0, scene, rho, thetas, hposes, quads,
+        feat_uv, feat_ref, feat_valid, vis,
+        imgs_levels, fx, fy, cx, cy,
+        levels=levels, n_iters=n_iters, huber_scene=huber_scene,
+        huber_text=huber_text, weight_text=weight_text)
+    any_vis = vis.any()
+    pose_out = jnp.where(any_vis, pose_ref, pose0)
+    geo2, full2, _ = _gates_kernel(
+        pose_out, quads, thetas, hposes, live, box_uv, box_int, box_valid,
+        img0, fx, fy, cx, cy, margin, cos_min, zncc_min, width, height)
+    Tt = quads.shape[0]
+    R = max(Tt, 16)
+    row2 = jnp.zeros(R, jnp.float32)
+    row2 = jax.lax.dynamic_update_slice(row2, pose_out, (0,))
+    row2 = row2.at[7].set(text_rows.astype(jnp.float32))
+    row2 = row2.at[8].set(any_vis.astype(jnp.float32))
+    pad = ((0, R - Tt),)
+    return jnp.stack([
+        jnp.pad(geo2.astype(jnp.float32), pad),
+        jnp.pad(full2.astype(jnp.float32), pad),
+        row2,
+    ])
 
 
 @functools.partial(
@@ -559,14 +694,19 @@ class TextFrontend:
         sel = np.nonzero((kf.kp_point >= 0) & kf.obs_good)[0]
         if len(sel) == 0:
             return None
-        inq = np.asarray(rasterize.point_in_quad(jnp.asarray(kf.kp_uv[sel]), jnp.asarray(quad)))
+        # host numpy throughout: this runs per (KF, box) in python loops
+        a = quad
+        b = np.roll(quad, -1, axis=0)
+        e = b - a
+        rel = kf.kp_uv[sel][:, None, :] - a[None]
+        cross = e[None, :, 0] * rel[..., 1] - e[None, :, 1] * rel[..., 0]
+        inq = (cross >= 0).all(-1) | (cross <= 0).all(-1)
         sel = sel[inq]
         if len(sel) < 5:
             return None
         pids = kf.kp_point[sel]
         xyz_w = m.point_world(pids)
-        T_rw = jnp.asarray(m.kf_pose[kid])
-        p_r = np.asarray(se3.apply(T_rw, jnp.asarray(xyz_w)))
+        p_r = se3_np.apply(m.kf_pose[kid], xyz_w)
         good_z = p_r[:, 2] > 0.05
         if good_z.sum() < 5:
             return None
@@ -577,10 +717,12 @@ class TextFrontend:
         rays[: len(sel)] = p_r / p_r[:, 2:3]
         rhos[: len(sel)] = 1.0 / p_r[:, 2]
         valid[: len(sel)] = good_z
-        theta, inliers, ok = _theta_ransac_kernel(
+        theta_j, inliers, ok = _theta_ransac_kernel(
             self._next_key(), jnp.asarray(rays), jnp.asarray(rhos), jnp.asarray(valid)
         )
-        if not bool(ok):
+        tpk = np.asarray(jnp.concatenate(  # theta + ok, one readback
+            [theta_j, ok[None].astype(jnp.float32)]))
+        if tpk[3] < 0.5:
             # fallback: KLT-tracked in-box features triangulated against a
             # neighbouring keyframe (the reference's primary path for later
             # text objects: TrackNewTextFeat + SolveTheta,
@@ -590,7 +732,7 @@ class TextFrontend:
                 return None
             theta = klt_res
         else:
-            theta = np.asarray(theta)
+            theta = tpk[:3]
         tid = m.add_text(kid, theta, quad, det.text, det.score, det.lang, state=state)
         self._extract_reference(tid)  # before add_text_observation: the host
         # observation's per-feature flags inherit tx_feat_valid
@@ -631,14 +773,19 @@ class TextFrontend:
             self.cfg.text.max_features_per_level,
         )
         uv_j, ok = klt.klt_track(pi, gi, pj, uv, fvalid, levels=(3, 2, 1, 0))
-        ok_np = np.asarray(ok)
-        if ok_np.sum() < 5:
-            return None
         ray_i = unproject(uv, cam.fx, cam.fy, cam.cx, cam.cy)
         ray_j = unproject(uv_j, cam.fx, cam.fy, cam.cx, cam.cy)
         P_w = tri.triangulate(ray_i, ray_j, jnp.asarray(m.kf_pose[kid]), jnp.asarray(m.kf_pose[other]))
-        p_i = np.asarray(se3.apply(jnp.asarray(m.kf_pose[kid]), P_w))
-        e_j = np.asarray(tri.reproj_err2(P_w, jnp.asarray(m.kf_pose[other]), uv_j, cam.fx, cam.fy, cam.cx, cam.cy))
+        pk = np.asarray(jnp.concatenate(  # ok + p_i + reproj err, one readback
+            [ok[:, None].astype(jnp.float32),
+             se3.apply(jnp.asarray(m.kf_pose[kid]), P_w),
+             tri.reproj_err2(P_w, jnp.asarray(m.kf_pose[other]), uv_j,
+                             cam.fx, cam.fy, cam.cx, cam.cy)[:, None]],
+            axis=1))
+        ok_np = pk[:, 0] > 0.5
+        if ok_np.sum() < 5:
+            return None
+        p_i, e_j = pk[:, 1:4], pk[:, 4]
         good = ok_np & (p_i[:, 2] > 0.05) & (e_j < 4.0)
         if good.sum() < 5:
             return None
@@ -650,12 +797,14 @@ class TextFrontend:
         rays[: len(good)] = p_i / zs[:, None]
         rhos[: len(good)] = 1.0 / zs
         valid[: len(good)] = good
-        theta, inliers, ok2 = _theta_ransac_kernel(
+        theta_j, inliers, ok2 = _theta_ransac_kernel(
             self._next_key(), jnp.asarray(rays), jnp.asarray(rhos), jnp.asarray(valid)
         )
-        if not bool(ok2):
+        tpk = np.asarray(jnp.concatenate(
+            [theta_j, ok2[None].astype(jnp.float32)]))
+        if tpk[3] < 0.5:
             return None
-        return np.asarray(theta)
+        return tpk[:3]
 
     # ------------------------------------------------------------------
     # per-frame KLT tracks for new text (TrackNewTextFeat / InitialTextObjs)
@@ -682,20 +831,35 @@ class TextFrontend:
         F = self.cfg.text.max_features_per_level
         imgs, grads = self._unpack_packed_pyr(
             self.map.kf_pyr_dev(kf), kf.pyr_shapes)
-        uv_all, det_all, val_all = [], [], []
-        for d in boxes:
-            quad = jnp.asarray(kf.det_text[d].quad)
-            mu, sigma, _ = rasterize.quad_stats(imgs[0], quad)
-            uv, _, fvalid = extract_text_features(imgs[0], grads[0], quad, mu, sigma, F)
-            uv_all.append(np.asarray(uv))
-            det_all.append(np.full(F, d, np.int32))
-            val_all.append(np.asarray(fvalid))
+        # all boxes in one program, one packed readback (was 2 pulls/box)
+        D = len(boxes)
+        Dp = pad_tier(D, 4)
+        quads = np.zeros((Dp, 4, 2), np.float32)
+        for i, d in enumerate(boxes):
+            quads[i] = kf.det_text[d].quad
+        packed = np.asarray(_seed_features_kernel(
+            imgs[0], grads[0], jnp.asarray(quads), n_feat=F))
+        uv_all = packed[: Dp * F * 2].reshape(Dp, F, 2)[:D].reshape(D * F, 2)
+        val_all = packed[Dp * F * 2:].reshape(Dp, F)[:D].reshape(D * F) > 0.5
+        det_all = np.repeat(np.asarray(boxes, np.int32), F)
+        # track state lives ON DEVICE between keyframes: the per-frame KLT
+        # advance dispatches with no readback; the host pulls ONCE at the
+        # next KF (create_from_tracks). Padded to a tier so the KLT program
+        # compiles per tier, not per track count.
+        M = len(det_all)
+        Mp = pad_tier(M, 256)
+        uv_p = np.zeros((Mp, 2), np.float32)
+        uv_p[:M] = uv_all
+        val_p = np.zeros(Mp, bool)
+        val_p[:M] = val_all
         self._klt = {
             "host_kid": kid,
-            "uv_host": np.concatenate(uv_all),
-            "uv_cur": np.concatenate(uv_all).copy(),
-            "valid": np.concatenate(val_all),
-            "det_idx": np.concatenate(det_all),
+            "uv_host": uv_all.copy(),
+            "uv_cur": uv_all.copy(),
+            "valid": val_all,
+            "det_idx": det_all,
+            "uv_cur_dev": jnp.asarray(uv_p),
+            "valid_dev": jnp.asarray(val_p),
             "prev_pyr": (imgs, grads),
         }
 
@@ -704,22 +868,18 @@ class TextFrontend:
         src/tracking.cc:453,1752-1785 runs cv::calcOpticalFlowPyrLK every
         frame; tracks that fail drop out permanently)."""
         st = self._klt
-        if st is None or frame.pyr_shapes is None or not st["valid"].any():
+        if st is None or frame.pyr_shapes is None:
             return
         imgs_j, grads_j = self._unpack_packed_pyr(
             frame.pyr_dev if frame.pyr_dev is not None else frame.pyr_data,
             frame.pyr_shapes)
-        M = len(st["uv_cur"])
-        Mp = pad_tier(M, 256)  # tier floor: fewer KLT recompiles
-        uv = np.zeros((Mp, 2), np.float32)
-        uv[:M] = st["uv_cur"]
-        val = np.zeros(Mp, bool)
-        val[:M] = st["valid"]
+        # pure device advance — NO readback; the host syncs the track state
+        # once per keyframe in create_from_tracks
         uv_j, ok = klt.klt_track(
             st["prev_pyr"][0], st["prev_pyr"][1], imgs_j,
-            jnp.asarray(uv), jnp.asarray(val), levels=(3, 2, 1, 0))
-        st["uv_cur"] = np.asarray(uv_j)[:M]
-        st["valid"] = st["valid"] & np.asarray(ok)[:M]
+            st["uv_cur_dev"], st["valid_dev"], levels=(3, 2, 1, 0))
+        st["uv_cur_dev"] = uv_j
+        st["valid_dev"] = st["valid_dev"] & ok
         st["prev_pyr"] = (imgs_j, grads_j)
 
     def create_from_tracks(self, new_kid: int):
@@ -734,6 +894,13 @@ class TextFrontend:
         cam = self.cfg.camera
         if st is None or st["host_kid"] == new_kid:
             return []
+        # ONE packed readback of the device-resident track state
+        M = len(st["det_idx"])
+        packed = np.asarray(jnp.concatenate(
+            [st["uv_cur_dev"], st["valid_dev"][:, None].astype(jnp.float32)],
+            axis=1))
+        st["uv_cur"] = packed[:M, :2]
+        st["valid"] = st["valid"] & (packed[:M, 2] > 0.5)
         host = st["host_kid"]
         kf_h = m.keyframes[host]
         T_h = jnp.asarray(m.kf_pose[host])
@@ -753,9 +920,12 @@ class TextFrontend:
             ray_h = unproject(jnp.asarray(uv_h), cam.fx, cam.fy, cam.cx, cam.cy)
             ray_c = unproject(jnp.asarray(uv_c), cam.fx, cam.fy, cam.cx, cam.cy)
             P_w = tri.triangulate(ray_h, ray_c, T_h, T_c)
-            p_h = np.asarray(se3.apply(T_h, P_w))
-            e_c = np.asarray(tri.reproj_err2(P_w, T_c, jnp.asarray(uv_c),
-                                             cam.fx, cam.fy, cam.cx, cam.cy))
+            pk = np.asarray(jnp.concatenate(  # p_h + reproj err, one readback
+                [se3.apply(T_h, P_w),
+                 tri.reproj_err2(P_w, T_c, jnp.asarray(uv_c),
+                                 cam.fx, cam.fy, cam.cx, cam.cy)[:, None]],
+                axis=1))
+            p_h, e_c = pk[:, :3], pk[:, 3]
             good = (p_h[:, 2] > 0.05) & (e_c < 4.0)
             if int(good.sum()) < 5:
                 continue
@@ -767,13 +937,16 @@ class TextFrontend:
             rays[: len(good)] = p_h / zs[:, None]
             rhos[: len(good)] = 1.0 / zs
             valid[: len(good)] = good
-            theta, inliers, ok2 = _theta_ransac_kernel(
+            theta_j, inliers, ok2 = _theta_ransac_kernel(
                 self._next_key(), jnp.asarray(rays), jnp.asarray(rhos),
                 jnp.asarray(valid))
-            if not bool(ok2) or not np.isfinite(np.asarray(theta)).all():
+            tpk = np.asarray(jnp.concatenate(
+                [theta_j, ok2[None].astype(jnp.float32)]))
+            theta = tpk[:3]
+            if tpk[3] < 0.5 or not np.isfinite(theta).all():
                 continue
             det = kf_h.det_text[d]
-            tid = m.add_text(host, np.asarray(theta), det.quad, det.text,
+            tid = m.add_text(host, theta, det.quad, det.text,
                              det.score, det.lang, state=TEXT_IMMATURE)
             self._extract_reference(tid)
             m.add_text_observation(host, tid, d)
@@ -782,7 +955,11 @@ class TextFrontend:
         return created
 
     def _extract_reference(self, tid: int):
-        """Per-level reference features + level-0 box pixels for ZNCC."""
+        """Per-level reference features + level-0 box pixels for ZNCC.
+
+        One fused device program + ONE packed readback per created object
+        (_extract_reference_kernel); the per-level host loop it replaces
+        paid ~20 tunnel round-trips per object."""
         m = self.map
         kid = int(m.tx_host[tid])
         kf = m.keyframes[kid]
@@ -792,46 +969,41 @@ class TextFrontend:
         dev = m.kf_pyr_dev(kf)
         quad0 = m.tx_quad[tid]
         F = self.cfg.text.max_features_per_level
-        for l in range(self.n_levels):
-            s = 2.0**l
-            h, w = pyr_shapes[l]
-            img = dev[l, :h, :w, 0]
-            grad = dev[l, :h, :w, 1:3]
-            quad_l = jnp.asarray(quad0 / s)
-            mu, sigma, n = rasterize.quad_stats(img, quad_l)
-            self.tx_host_stats[tid, l] = (float(mu), float(sigma))
-            uv, ref, valid = extract_text_features(img, grad, quad_l, mu, sigma, F)
-            m.tx_feat_uv[tid, l] = np.asarray(uv)
-            m.tx_feat_ref[tid, l] = np.asarray(ref)
-            m.tx_feat_valid[tid, l] = np.asarray(valid)
-        # level-0 box pixels for the ZNCC gate (subsampled grid); the
-        # intensities gather on DEVICE (pulling only the ~1K values, not the
-        # whole host pyramid mirror — the mirror stays lazy, frame.host_pyr)
-        h0, w0 = pyr_shapes[0]
-        mask = np.asarray(rasterize.quad_mask(jnp.asarray(quad0), int(h0), int(w0)))
-        ys, xs = np.nonzero(mask)
-        if len(ys) == 0:
-            return
-        stride = max(1, len(ys) // self.B)
-        ys, xs = ys[::stride][: self.B], xs[::stride][: self.B]
-        nb = len(ys)
-        self.tx_box_uv[tid, :nb] = np.stack([xs, ys], -1)
-        self.tx_box_int[tid, :nb] = np.asarray(
-            dev[0, jnp.asarray(ys), jnp.asarray(xs), 0])
-        self.tx_box_valid[tid, :nb] = True
-        self.tx_box_valid[tid, nb:] = False
+        L = self.n_levels
+        B = self.B
+        packed = np.asarray(_extract_reference_kernel(
+            dev, jnp.asarray(np.asarray(pyr_shapes, np.int32)),
+            jnp.asarray(quad0.astype(np.float32)),
+            n_levels=L, n_feat=F, n_box=B))
+        o = 0
+        uv = packed[o:o + L * F * 2].reshape(L, F, 2); o += L * F * 2
+        ref = packed[o:o + L * F * 8].reshape(L, F, 8); o += L * F * 8
+        valid = packed[o:o + L * F].reshape(L, F) > 0.5; o += L * F
+        ms = packed[o:o + L * 2].reshape(L, 2); o += L * 2
+        box_uv = packed[o:o + B * 2].reshape(B, 2); o += B * 2
+        box_int = packed[o:o + B]; o += B
+        box_valid = packed[o:o + B] > 0.5
+        m.tx_feat_uv[tid] = uv
+        m.tx_feat_ref[tid] = ref
+        m.tx_feat_valid[tid] = valid
+        self.tx_host_stats[tid] = ms
+        self.tx_box_uv[tid] = box_uv
+        self.tx_box_int[tid] = box_int
+        self.tx_box_valid[tid] = box_valid
 
     # ------------------------------------------------------------------
     # geometry helpers
     def _quad_world(self, tid: int) -> np.ndarray:
-        """Text quad corners as world points via theta."""
+        """Text quad corners as world points via theta (host numpy — this
+        runs inside per-object python loops; device round-trips here cost
+        ~25 ms each on a tunneled TPU)."""
         m = self.map
         cam = self.cfg.camera
         kid = int(m.tx_host[tid])
-        rays = np.asarray(unproject(jnp.asarray(m.tx_quad[tid]), cam.fx, cam.fy, cam.cx, cam.cy))
-        p_r = np.asarray(plane.backproject(jnp.asarray(rays), jnp.asarray(m.tx_theta[tid])))
-        T_rw = jnp.asarray(m.kf_pose[kid])
-        return np.asarray(se3.apply(se3.inverse(T_rw), jnp.asarray(p_r)))
+        rays = se3_np.unproject(m.tx_quad[tid], cam.fx, cam.fy, cam.cx, cam.cy)
+        rho = -(rays * m.tx_theta[tid]).sum(-1)
+        p_r = rays / rho[:, None].clip(1e-12)
+        return se3_np.apply(se3_np.inverse(m.kf_pose[kid]), p_r)
 
     def _gates(self, pose_cw: np.ndarray, frame):
         """Run the batched gate kernel over the padded text pool.
@@ -908,8 +1080,11 @@ class TextFrontend:
         from ..utils.profiling import phase
 
         # padded pair axis: one fused device program with TIERED shapes
-        # (see _pair_geometry) instead of per-pair-count recompiles
-        Np = pad_tier(n_pairs, 32)
+        # (see _pair_geometry) instead of per-pair-count recompiles; floor
+        # aligned with the 4096-row floor (4096 / F=64 = 64 pairs)
+        from .tracking import solver_tier
+
+        Np = solver_tier(n_pairs, 32, 64)
         quads_p = np.zeros((Np, 4, 2), np.float32)
         quads_p[:n_pairs] = m.tx_quad[tids_np]
         thetas_p = np.zeros((Np, 3), np.float32)
@@ -918,23 +1093,28 @@ class TextFrontend:
         hposes_p = np.zeros((Np, 7), np.float32)
         hposes_p[:, 0] = 1.0
         hposes_p[:n_pairs] = np.asarray(host_poses, np.float32)
-        tposes_p = hposes_p.copy()
-        tposes_p[:n_pairs] = np.asarray(target_poses, np.float32)
         tgt_p = np.zeros(Np, np.int32)
         tgt_p[:n_pairs] = np.asarray(target_slots, np.int32)
+        if isinstance(target_poses, jnp.ndarray):
+            # device pose block (the windowed-BA path): gather target poses
+            # on device — no per-level device->host pose pull
+            ident = np.zeros((Np - n_pairs, 7), np.float32)
+            ident[:, 0] = 1.0
+            tposes_p = jnp.concatenate(
+                [target_poses[jnp.asarray(np.asarray(target_slots, np.int32))],
+                 jnp.asarray(ident)], axis=0)
+        else:
+            tposes_np = hposes_p.copy()
+            tposes_np[:n_pairs] = np.asarray(target_poses, np.float32)
+            tposes_p = jnp.asarray(tposes_np)
         fuv_p = np.zeros((Np, F, 2), np.float32)
         fuv_p[:n_pairs] = m.tx_feat_uv[tids_np, level]
         with phase("btx.geom"):
             mu_j, sigma_j, rays_j = _pair_geometry(
             jnp.asarray(quads_p), jnp.asarray(thetas_p), jnp.asarray(hposes_p),
-            jnp.asarray(tposes_p), jnp.asarray(tgt_p),
+            tposes_p, jnp.asarray(tgt_p),
             jnp.asarray(target_pyrs), jnp.asarray(fuv_p),
                 cam.fx, cam.fy, cam.cx, cam.cy, fxl, fyl, cxl, cyl)
-        with phase("btx.pull"):
-            mu = np.asarray(mu_j)[:n_pairs]
-            sigma = np.asarray(sigma_j)[:n_pairs]
-            rays = np.asarray(rays_j)[:n_pairs]
-        ms = np.stack([mu, sigma.clip(1e-3)], -1)  # [p, 2]
 
         hposes = hposes_p[:n_pairs]
         ref = m.tx_feat_ref[tids_np, level]  # [p, F, 8]
@@ -949,16 +1129,20 @@ class TextFrontend:
                     fvalid[i] &= fg[level]
 
         O_real = n_pairs * F
-        # minimum 1024 rows: each distinct text-batch tier recompiles the
-        # joint solver (~20-40s through the TPU tunnel); masked rows are
-        # near-free on the MXU
-        O = pad_tier(O_real, 1024)
+        # FLOOR 4096 rows: each distinct text-batch tier recompiles the
+        # joint solver (seconds through the TPU tunnel even on a persistent-
+        # cache hit — measured round 4: six solve_ba recompiles inside the
+        # steady window as the tier ladder climbed 1024->8192, dominating
+        # KF-insertion cost); a high floor leaves <=2 rungs for a whole run.
+        # Masked rows are near-free on the MXU
+        from .tracking import solver_tier
+
+        O = solver_tier(O_real, 1024, 4096)
         tgt = np.repeat(np.asarray(target_slots, np.int32), F)
         host = np.repeat(np.asarray(host_slots, np.int32), F)
         hiw = np.repeat(np.asarray(host_in_window, bool), F)
         hpose = np.repeat(hposes, F, axis=0)
         text_idx = np.repeat(np.asarray([tid_to_lm[t] for t in tids], np.int32), F)
-        ms_r = np.repeat(ms.astype(np.float32), F, axis=0)
 
         def padp(a, fill=0):
             if a.shape[0] >= O:
@@ -967,8 +1151,19 @@ class TextFrontend:
 
         hp = padp(hpose)
         hp[O_real:, 0] = 1.0
-        ms_p = padp(ms_r)
-        ms_p[O_real:, 1] = 1.0
+        # (mu, sigma) and the pattern rays stay ON DEVICE: the former host
+        # repeat/reshape forced three device->host readbacks per level-pass
+        # (~25 ms each through the tunnel) for data the solver consumes on
+        # device anyway
+        msd = jnp.stack([mu_j, sigma_j.clip(1e-3)], axis=-1)  # [Np, 2]
+        ms_dev = jnp.repeat(msd[:n_pairs], F, axis=0)  # [O_real, 2]
+        rays_dev = rays_j[:n_pairs].reshape(O_real, 8, 3)
+        if O > O_real:
+            pad_ms = np.zeros((O - O_real, 2), np.float32)
+            pad_ms[:, 1] = 1.0
+            ms_dev = jnp.concatenate([ms_dev, jnp.asarray(pad_ms)], axis=0)
+            rays_dev = jnp.concatenate(
+                [rays_dev, jnp.zeros((O - O_real, 8, 3), jnp.float32)], axis=0)
         with phase("btx.rows"):
           return ba.TextObs(
             tgt=jnp.asarray(padp(tgt)),
@@ -976,9 +1171,9 @@ class TextFrontend:
             host_frozen_pose=jnp.asarray(hp),
             host_in_window=jnp.asarray(padp(hiw, False)),
             text=jnp.asarray(padp(text_idx)),
-            rays=jnp.asarray(padp(rays.reshape(O_real, 8, 3).astype(np.float32))),
+            rays=rays_dev,
             ref_inten=jnp.asarray(padp(ref.reshape(O_real, 8).astype(np.float32))),
-            mu_sigma=jnp.asarray(ms_p),
+            mu_sigma=ms_dev,
             weight=jnp.asarray(padp(np.full(
                 O_real,
                 self.cfg.solver.weight_text if weight is None else weight,
@@ -1125,30 +1320,31 @@ class TextFrontend:
                 self._fuse_semantic(tid, dets[d], kid)
 
     def on_frame_tracked(self, frame, good_pids, good_kps) -> np.ndarray:
-        """Joint scene+text pose refinement + observation counters."""
-        m = self.map
-        pose = frame.pose.copy()
-        geo, full = self._gates(pose, frame)
-        vis = [t for t in range(m.n_texts) if full[t] and m.tx_state[t] == TEXT_GOOD]
-        # finest-level text residual rows available this frame (num_t_residual
-        # analog, src/optimizer.cc:1238): one 8-dim row per valid feature
-        self.last_text_rows = (
-            int(m.tx_feat_valid[np.asarray(vis, np.int64), 0].sum()) if vis else 0)
-        if vis and frame.pyr_shapes is not None:
-            from ..utils.profiling import phase
+        """Joint scene+text pose refinement + observation counters.
 
-            with phase("track.text_refine"):
-                pose = self._pose_refine_with_text(
-                    frame, pose, good_pids, good_kps, vis)
+        The gates -> refine -> re-gate chain runs as ONE device program with
+        ONE packed readback (fused_text_frame); the host keeps only the
+        counter bookkeeping. When the frame carries no pyramid (noText-style
+        frames) or the pool is empty, falls back to the gate-only path."""
+        m = self.map
+        from ..utils.profiling import phase
+
+        pose = frame.pose.copy()
+        if frame.pyr_shapes is None or m.n_texts == 0:
             geo, full = self._gates(pose, frame)
+            vis = [t for t in range(m.n_texts)
+                   if full[t] and m.tx_state[t] == TEXT_GOOD]
+            self.last_text_rows = (
+                int(m.tx_feat_valid[np.asarray(vis, np.int64), 0].sum())
+                if vis else 0)
+        else:
+            with phase("track.text_refine"):
+                pose, geo, full = self._fused_frame_hook(
+                    frame, pose, good_pids, good_kps)
         # counters: good when all gates pass; bad only when geometrically
         # visible but failing the appearance (ZNCC) gate
-        for tid in np.nonzero(geo)[0]:
-            if full[tid]:
-                m.tx_good_obs[tid] += 1
-            else:
-                m.tx_bad_obs[tid] += 1
-        from ..utils.profiling import phase
+        m.tx_good_obs[: len(geo)][geo & full] += 1
+        m.tx_bad_obs[: len(geo)][geo & ~full] += 1
 
         # advance the new-text KLT tracks every frame (TrackNewTextFeat)
         with phase("track.klt"):
@@ -1161,14 +1357,17 @@ class TextFrontend:
             self._update_immature(frame, geo)
         return pose
 
-    def _pose_refine_with_text(self, frame, pose, good_pids, good_kps, vis) -> np.ndarray:
+    def _fused_frame_hook(self, frame, pose, good_pids, good_kps):
+        """Assemble inputs for fused_text_frame and unpack its one readback.
+
+        Returns (pose [7], geo [n_texts], full [n_texts])."""
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
-        from .tracking import _pad, _pad_pose, pad_tier as ptier
+        from .tracking import _pad, _pad_pose, solver_tier
 
-        # scene obs (same as tracker pose optimize)
-        O = ptier(max(len(good_pids), 1), 1024)
+        # scene observations (same construction as the tracker's pose optim)
+        O = solver_tier(max(len(good_pids), 1), 1024, 2048)
         host = m.pt_host[good_pids].clip(0)
         obs_valid = np.zeros(O, bool)
         obs_valid[: len(good_pids)] = True
@@ -1179,48 +1378,84 @@ class TextFrontend:
             host_in_window=jnp.zeros(O, dtype=bool),
             point=jnp.asarray(_pad(good_pids.astype(np.int32), O)),
             ray=jnp.asarray(_pad(m.pt_ray[good_pids], O)),
-            uv=jnp.asarray(_pad(frame.kp_uv[good_kps], O)),
+            uv=jnp.zeros((O, 2), jnp.float32),  # gathered in-kernel
             weight=jnp.full(O, scfg.weight_scene, dtype=jnp.float32),
             valid=jnp.asarray(obs_valid),
         )
+        kp_sel = jnp.asarray(_pad(good_kps.astype(np.int32), O))
         Pt = self.cfg.map.max_points  # clamped: see Tracker._pose_optimize
         rho = jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt))
 
-        vis_np = np.asarray(vis, np.int64)
-        T = pad_tier(len(vis), 16)  # tier floor: fewer refine recompiles
-        theta = np.zeros((T, 3), np.float32)
-        theta[: len(vis)] = m.tx_theta[vis_np]
-        host_poses = np.zeros((T, 7), np.float32)
-        host_poses[:, 0] = 1.0
-        host_poses[: len(vis)] = m.kf_pose[m.tx_host[vis_np]]
-        quads0 = np.zeros((T, 4, 2), np.float32)
-        quads0[: len(vis)] = m.tx_quad[vis_np]
-        feat_uv = np.zeros((T,) + m.tx_feat_uv.shape[1:], np.float32)
-        feat_uv[: len(vis)] = m.tx_feat_uv[vis_np]
-        feat_ref = np.zeros((T,) + m.tx_feat_ref.shape[1:], np.float32)
-        feat_ref[: len(vis)] = m.tx_feat_ref[vis_np]
-        feat_valid = np.zeros((T,) + m.tx_feat_valid.shape[1:], bool)
-        feat_valid[: len(vis)] = m.tx_feat_valid[vis_np]
-        obj_valid = np.zeros(T, bool)
-        obj_valid[: len(vis)] = True
-        fdev = frame.pyr_dev if frame.pyr_dev is not None else jnp.asarray(frame.pyr_data)
+        # padded text pool (same layout as _gates); high TPU floor: every
+        # pool-tier rung recompiles the fused gates+refine program
+        Tt = solver_tier(max(m.n_texts, 1), 8, 64)
+        quads = np.zeros((Tt, 4, 2), np.float32)
+        thetas = np.zeros((Tt, 3), np.float32)
+        thetas[:, 2] = -1.0  # benign placeholder plane
+        hposes = np.zeros((Tt, 7), np.float32)
+        hposes[:, 0] = 1.0
+        live = np.zeros(Tt, bool)
+        good_state = np.zeros(Tt, bool)
+        quads[: m.n_texts] = m.tx_quad[: m.n_texts]
+        thetas[: m.n_texts] = m.tx_theta[: m.n_texts]
+        hostk = m.tx_host[: m.n_texts].clip(0)
+        hposes[: m.n_texts] = m.kf_pose[hostk]
+        live[: m.n_texts] = (m.tx_valid[: m.n_texts]
+                             & (m.tx_state[: m.n_texts] != TEXT_BAD))
+        good_state[: m.n_texts] = m.tx_state[: m.n_texts] == TEXT_GOOD
+
+        L = self.n_levels
+        F = self.cfg.text.max_features_per_level
+        feat_uv = np.zeros((Tt, L, F, 2), np.float32)
+        feat_ref = np.zeros((Tt, L, F, 8), np.float32)
+        feat_valid = np.zeros((Tt, L, F), bool)
+        feat_uv[: m.n_texts] = m.tx_feat_uv[: m.n_texts]
+        feat_ref[: m.n_texts] = m.tx_feat_ref[: m.n_texts]
+        feat_valid[: m.n_texts] = m.tx_feat_valid[: m.n_texts]
+
+        fdev = (frame.pyr_dev if frame.pyr_dev is not None
+                else jnp.asarray(frame.pyr_data))
+        h0, w0 = int(frame.pyr_shapes[0][0]), int(frame.pyr_shapes[0][1])
+        img0 = fdev[0, :h0, :w0, 0]
         imgs_levels = tuple(
             fdev[l, : int(frame.pyr_shapes[l][0]),
                  : int(frame.pyr_shapes[l][1]), :3]
             for l in self.levels
         )
-        out = fused_pose_refine(
-            jnp.asarray(pose.astype(np.float32)),
-            scene, rho,
-            jnp.asarray(theta), jnp.asarray(host_poses), jnp.asarray(quads0),
+        B = self.tx_box_uv.shape[1]
+        box_uv = np.zeros((Tt, B, 2), np.float32)
+        box_int = np.zeros((Tt, B), np.float32)
+        box_valid = np.zeros((Tt, B), bool)
+        nbu = min(Tt, self.tx_box_uv.shape[0])
+        box_uv[:nbu] = self.tx_box_uv[:nbu]
+        box_int[:nbu] = self.tx_box_int[:nbu]
+        box_valid[:nbu] = self.tx_box_valid[:nbu]
+
+        from .frame import packed_kp_dev
+
+        out = fused_text_frame(
+            jnp.asarray(pose.astype(np.float32)), scene, rho,
+            packed_kp_dev(frame), kp_sel,
+            jnp.asarray(quads), jnp.asarray(thetas), jnp.asarray(hposes),
+            jnp.asarray(live), jnp.asarray(good_state),
+            jnp.asarray(box_uv), jnp.asarray(box_int), jnp.asarray(box_valid),
             jnp.asarray(feat_uv), jnp.asarray(feat_ref), jnp.asarray(feat_valid),
-            jnp.asarray(obj_valid),
-            imgs_levels, cam.fx, cam.fy, cam.cx, cam.cy,
+            imgs_levels, img0,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            self.cfg.text.in_image_margin,
+            self.cfg.text.cos_orientation_min,
+            self.cfg.text.zncc_min,
+            width=cam.width, height=cam.height,
             levels=tuple(self.levels), n_iters=scfg.iters_per_level,
             huber_scene=scfg.huber_scene_pose, huber_text=scfg.huber_text,
             weight_text=scfg.weight_text,
         )
-        return np.asarray(out)
+        out = np.asarray(out)  # the ONE readback of the text frame hook
+        geo = out[0, : m.n_texts] > 0.5
+        full = out[1, : m.n_texts] > 0.5
+        pose_out = out[2, :7].astype(np.float32)
+        self.last_text_rows = int(out[2, 7])
+        return pose_out, geo, full
 
     def on_keyframe(self, frame, kid: int):
         m = self.map
@@ -1254,25 +1489,29 @@ class TextFrontend:
     def _project_quad_np(self, tid: int, pose_cw) -> np.ndarray:
         cam = self.cfg.camera
         Pw = self._quad_world(tid)
-        pc = np.asarray(se3.apply(jnp.asarray(pose_cw.astype(np.float32)), jnp.asarray(Pw)))
-        return np.asarray(project(jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
+        pc = se3_np.apply(pose_cw.astype(np.float32), Pw)
+        return se3_np.project(pc, cam.fx, cam.fy, cam.cx, cam.cy)
 
     def _s_geo(self, tid: int, kid: int) -> float:
         """GetSgeo (src/tracking.cc:2484-2527): S_geo = (1 + cos)·w_view + d,
         smaller is better — cos between the observing camera's optical axis
         (world frame) and the unit world plane normal, plus the distance from
-        the camera center to the text box center."""
+        the camera center to the text box center. Host numpy (per-object
+        loop; see _quad_world)."""
         m = self.map
-        from ..geometry.quaternion import qto_matrix
-
-        Twc = np.asarray(se3.inverse(jnp.asarray(m.kf_pose[kid])))
+        Twc = se3_np.inverse(m.kf_pose[kid])
         o_cam = Twc[4:7]
-        z_cam = np.asarray(qto_matrix(jnp.asarray(Twc[:4])))[:, 2]
+        z_cam = se3_np.qto_matrix(Twc[:4])[:, 2]
         center_w = self._quad_world(tid).mean(0)
         d = float(np.linalg.norm(center_w - o_cam))
         host = int(m.tx_host[tid])
-        n_w = np.asarray(plane.plane_normal_world(
-            jnp.asarray(m.tx_theta[tid]), jnp.asarray(m.kf_pose[host])))
+        # plane normal in world (plane.plane_normal_world twin): the
+        # homogeneous covector transforms as R_rw^T θ / (t·θ + 1)
+        T_rw = m.kf_pose[host]
+        theta = m.tx_theta[tid]
+        n_w = se3_np.qrotate(se3_np.qconj(T_rw[:4]), theta)
+        n_w = n_w / (float(T_rw[4:7] @ theta) + 1.0)
+        n_w = n_w / np.linalg.norm(n_w).clip(1e-12)
         cos = float(z_cam @ n_w)
         return (1.0 + cos) * self.cfg.text.sem_weight_view + d
 
@@ -1357,9 +1596,11 @@ class TextFrontend:
             tgt_lists.append(kfs)
         frame_idx = img_of.setdefault(-1, len(img_of))
 
-        N = pad_tier(len(imm), 4)
-        Kt = pad_tier(max(len(t) for t in tgt_lists) + 1, 4)
-        M = pad_tier(len(img_of), 4)
+        from .tracking import solver_tier
+
+        N = solver_tier(len(imm), 4, 16)
+        Kt = solver_tier(max(len(t) for t in tgt_lists) + 1, 4, 8)
+        M = solver_tier(len(img_of), 4, 8)
         L = self.n_levels
         F = self.cfg.text.max_features_per_level
         poses = np.zeros((M, 7), np.float32)
@@ -1423,8 +1664,10 @@ class TextFrontend:
             levels=levels, n_iters=scfg.iters_per_level,
             huber_theta=scfg.huber_theta, weight_text=scfg.weight_text,
         )
-        th = np.asarray(th_j)[: len(imm)]
-        Hs = np.asarray(H_j)[: len(imm)]
+        packed = np.asarray(jnp.concatenate(
+            [th_j, H_j.reshape(th_j.shape[0], 9)], axis=1))  # one readback
+        th = packed[: len(imm), :3]
+        Hs = packed[: len(imm), 3:].reshape(-1, 3, 3)
         oks = (np.isfinite(th).all(-1)
                & (np.linalg.norm(th, axis=-1) > 1e-6))
         return th, oks, Hs

@@ -24,13 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TextSLAMConfig
-from ..geometry import se3, twoview
+from ..geometry import se3, se3_np, twoview
 from ..geometry.camera import project, unproject, in_image
 from ..ops import matching
 from ..solver import ba
 from ..mapper.state import SlamMap, Keyframe
 from ..utils.profiling import phase
-from .frame import Frame
+from .frame import Frame, ensure_host_kp, packed_kp_dev
 
 # tracking states (src/tracking.h:44-51)
 NOT_INITIALIZED = 0
@@ -43,6 +43,22 @@ def pad_tier(n: int, minimum: int = 256) -> int:
     while t < n:
         t *= 2
     return t
+
+
+@functools.lru_cache(None)
+def _cpu_backend() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def solver_tier(n: int, cpu_min: int, tpu_min: int) -> int:
+    """Padded-tier size for solver-row batches, with a backend-dependent
+    floor: on the real chip every distinct tier recompiles the joint solver
+    (seconds through the tunnel even on persistent-cache hits — round 4
+    measured six steady-state solve_ba recompiles as the ladder climbed),
+    so the floor is set high enough that a whole run sees <=2 rungs; on the
+    CPU test mesh compiles are local and masked rows are NOT free, so the
+    floor stays small."""
+    return pad_tier(n, cpu_min if _cpu_backend() else tpu_min)
 
 
 def _pad(a: np.ndarray, n: int, fill=0):
@@ -159,6 +175,97 @@ def fused_pose_optimize(prob: ba.BAProblem, base_valid, weight_scene,
     return prob.poses[0], inlier
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "rounds", "n_iters", "huber",
+                     "chi2_gate"))
+def fused_track_step(
+    pt_ray, pt_rho_pool, pt_host_pose, pt_desc, pt_desc_alt, pt_valid,
+    guess, kp_packed,
+    fx, fy, cx, cy, radius, max_dist, weight_scene,
+    width: int, height: int, rounds: int, n_iters: int, huber: float,
+    chi2_gate: float,
+):
+    """The whole steady-state track step in ONE program: SearchFrom3D →
+    PoseOptim (with chi2 rounds) → tight re-association (SearchFrom3DAdd,
+    src/tracking.cc:1114-1273) → conditional re-optimize → packed result.
+
+    The host-driven version of this chain cost 4 dispatches and ~8
+    device→host readbacks per frame; on a tunneled TPU each readback is a
+    ~25 ms round-trip (measured round 4), so the chain alone bounded e2e
+    throughput at ~3 fps before any kernel ran. Everything here is masked
+    fixed-shape math over the padded point pool [P]; the one output is a
+    packed [4, P] f32 array (idx / ok / inlier rows + a scalar row holding
+    the pose and counters) pulled by the caller in a single transfer.
+
+    pt_* are the padded point-pool SoA columns; pt_rho_pool is the rho pool
+    clamped to its cap [Pt] (scene.point indexes it). Returns [4, P]:
+    row0 idx, row1 ok, row2 inlier, row3 = [pose(7), n_pass1, n_good,
+    better_flag, 0...].
+    """
+    P = pt_ray.shape[0]
+    Pt = pt_rho_pool.shape[0]
+    # unpack the device keypoint pool (ops.orb.pack_keypoints layout) —
+    # the frame's keypoints never touch the host on non-KF frames
+    kp_uv = kp_packed[:, 0:2]
+    kp_valid = kp_packed[:, 5] > 0.5
+    kp_desc = jax.lax.bitcast_convert_type(kp_packed[:, 6:14], jnp.uint32)
+
+    def match(pose, r):
+        idx, ok, _, _ = search_from_3d(
+            pt_ray, pt_rho_pool[:P], pt_host_pose, pt_desc, pt_valid, pose,
+            kp_uv, kp_desc, kp_valid, fx, fy, cx, cy, r, max_dist,
+            width, height, pt_desc_alt=pt_desc_alt)
+        return idx, ok
+
+    def optimize(pose0, idx, ok):
+        scene = ba.SceneObs(
+            tgt=jnp.zeros(P, jnp.int32),
+            host=jnp.ones(P, jnp.int32),
+            host_frozen_pose=pt_host_pose,
+            host_in_window=jnp.zeros(P, bool),
+            point=jnp.arange(P, dtype=jnp.int32).clip(0, Pt - 1),
+            ray=pt_ray,
+            uv=kp_uv[idx],
+            weight=jnp.full(P, weight_scene, jnp.float32),
+            valid=ok,
+        )
+        prob = ba.BAProblem(
+            poses=pose0[None],
+            pose_free=jnp.ones(1, bool),
+            rho=pt_rho_pool,
+            rho_free=jnp.zeros(Pt, bool),
+            theta=jnp.zeros((1, 3), jnp.float32),
+            theta_free=jnp.zeros(1, bool),
+            scene=scene, text=None, images=None,
+            fx=fx, fy=fy, cx=cx, cy=cy,
+        )
+        return fused_pose_optimize(
+            prob, ok, weight_scene, rounds=rounds, n_iters=n_iters,
+            huber=huber, chi2_gate=chi2_gate)
+
+    idx1, ok1 = match(guess, radius)
+    pose1, inlier1 = optimize(guess, idx1, ok1)
+    idx2, ok2 = match(pose1, radius * 0.5)
+    better = ok2.sum() > inlier1.sum()
+    idx_f = jnp.where(better, idx2, idx1)
+    ok_f = jnp.where(better, ok2, ok1)
+    pose2, inlier2 = optimize(pose1, idx_f, ok_f)
+    pose_out = jnp.where(better, pose2, pose1)
+    inlier_out = jnp.where(better, inlier2, inlier1)
+    n1 = ok1.sum()
+    n_good = (ok_f & inlier_out).sum()
+    row3 = jnp.zeros(P, jnp.float32)
+    row3 = jax.lax.dynamic_update_slice(row3, pose_out, (0,))
+    row3 = row3.at[7].set(n1.astype(jnp.float32))
+    row3 = row3.at[8].set(n_good.astype(jnp.float32))
+    row3 = row3.at[9].set(better.astype(jnp.float32))
+    return jnp.stack([
+        idx_f.astype(jnp.float32), ok_f.astype(jnp.float32),
+        inlier_out.astype(jnp.float32), row3,
+    ])
+
+
 class Tracker:
     """Synchronous frontend mirroring tracking::Track (src/tracking.cc:104)."""
 
@@ -175,6 +282,9 @@ class Tracker:
         self.n_tracked_last_kf = 0
         self.trajectory = []  # (timestamp, Tcw) per frame
         self.text_frontend = None  # wired by system when text is enabled
+        # optional [P]-mask filter applied to the matching candidate set
+        # (tests inject drift/amnesia here; replaces monkeypatching _match_map)
+        self.pt_candidate_hook = None
         # device mesh for distributed windowed/global BA (SURVEY.md §2.4):
         # when configured, _local_ba dispatches to the sharded multi-
         # iteration LM loop instead of the single-device solver
@@ -206,6 +316,8 @@ class Tracker:
                 self.init_frame = frame
             return False
         f1, f2 = self.init_frame, frame
+        ensure_host_kp(f1)
+        ensure_host_kp(f2)
         # octave-0 wide-window match (SearchForInitializ, src/tracking.cc:1045)
         pair = matching.window_mask(
             jnp.asarray(f1.kp_uv), jnp.asarray(f2.kp_uv), self.cfg.match.search_window_init
@@ -253,10 +365,10 @@ class Tracker:
         T21[4:] /= med
 
         kf1 = self._make_keyframe(f1)
-        kid1 = m.add_keyframe(kf1, se3.identity().__array__())
+        kid1 = m.add_keyframe(kf1, se3_np.identity())
         kf2 = self._make_keyframe(f2)
         kid2 = m.add_keyframe(kf2, T21)
-        f1.pose = np.asarray(se3.identity())
+        f1.pose = se3_np.identity()
         f2.pose = T21.copy()
 
         sel = np.nonzero(inlier)[0]
@@ -288,9 +400,10 @@ class Tracker:
         self.prev_pose = f1.pose.copy()
         self.last_kf_frame_id = f2.frame_id
         self.n_tracked_last_kf = len(sel)
-        self.velocity = np.asarray(se3.compose(jnp.asarray(f2.pose), se3.inverse(jnp.asarray(f1.pose))))
+        self.velocity = se3_np.relative(f2.pose, f1.pose).astype(np.float32)
 
     def _make_keyframe(self, frame: Frame) -> Keyframe:
+        ensure_host_kp(frame)
         n = frame.kp_uv.shape[0]
         kf = Keyframe(
             kid=-1,
@@ -322,34 +435,30 @@ class Tracker:
         cam = self.cfg.camera
         m = self.map
         if self.velocity is not None:
-            guess = np.asarray(se3.compose(jnp.asarray(self.velocity), jnp.asarray(self.last_pose)))
+            guess = se3_np.compose(self.velocity, self.last_pose).astype(np.float32)
         else:
             guess = self.last_pose.copy()
 
-        with phase("track.match"):
-            pids, kp_idx, ok = self._match_map(frame, guess)
-        n_matches = int(ok.sum())
+        # the whole match → optimize → re-associate → re-optimize chain runs
+        # as ONE device program with ONE packed readback (fused_track_step);
+        # the host only handles the rare lost-motion-model fallback
+        with phase("track.step"):
+            pose, kp_idx, ok, inlier, n_matches = self._fused_track(frame, guess)
         if n_matches < 10:
             # fallback: re-match without motion model, wider radius
-            pids, kp_idx, ok = self._match_map(frame, self.last_pose, radius_scale=2.0)
             guess = self.last_pose.copy()
-            n_matches = int(ok.sum())
+            pose, kp_idx, ok, inlier, n_matches = self._fused_track(
+                frame, guess, radius_scale=2.0)
         if n_matches < 10:
             self.state = LOST
             frame.pose = guess
             return False
 
-        with phase("track.pose_optim"):
-            pose, inlier = self._pose_optimize(frame, guess, pids[ok], kp_idx[ok])
-        # second association pass under the refined pose with a tight window
-        # (SearchFrom3DAdd, src/tracking.cc:1114-1273), then re-optimize
-        pids2, kp_idx2, ok2 = self._match_map(frame, pose, radius_scale=0.5)
-        if int(ok2.sum()) > int(inlier.sum()):
-            pose, inlier = self._pose_optimize(frame, pose, pids2[ok2], kp_idx2[ok2])
-            pids, kp_idx, ok = pids2, kp_idx2, ok2
         frame.pose = pose
-        good_pids = pids[ok][inlier]
-        good_kps = kp_idx[ok][inlier]
+        pids = np.arange(len(ok))
+        good = ok & inlier
+        good_pids = pids[good]
+        good_kps = kp_idx[good]
         n_good = len(good_pids)
         if n_good < 10:
             self.state = LOST
@@ -358,7 +467,7 @@ class Tracker:
 
         # landmark observation counters (LandmarkerObvUpdate, :1581-1608)
         m.pt_good_obs[good_pids] += 1
-        bad_pids = pids[ok][~inlier]
+        bad_pids = pids[ok & ~inlier]
         m.pt_bad_obs[bad_pids] += 1
 
         # text pipeline per-frame hooks (pose refinement uses text residuals)
@@ -370,9 +479,8 @@ class Tracker:
         self.prev_pose = self.last_pose
         self.last_pose = frame.pose.copy()
         if self.prev_pose is not None:
-            self.velocity = np.asarray(
-                se3.compose(jnp.asarray(self.last_pose), se3.inverse(jnp.asarray(self.prev_pose)))
-            )
+            self.velocity = se3_np.relative(
+                self.last_pose, self.prev_pose).astype(np.float32)
 
         if self._check_new_keyframe(frame.frame_id, n_good):
             self._insert_keyframe(frame, good_pids, good_kps)
@@ -429,19 +537,66 @@ class Tracker:
         pt_valid[: m.n_points] &= host_ok
         return pt_valid
 
-    def _match_map(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
+    def _candidate_valid(self, frame: Frame, P: int) -> np.ndarray:
+        """Padded [P] candidate mask for map-point matching: live non-bad
+        points, covisibility-narrowed at cap scale, then the optional
+        pt_candidate_hook (tests use it to simulate drift/amnesia)."""
         m = self.map
-        cam = self.cfg.camera
-        # minimum 4096: every distinct pool tier compiles a fresh matcher
-        # program (~20-40s through the TPU tunnel); skipping the small tiers
-        # trades a few MB of masked work for 4 fewer compiles per run
-        P = pad_tier(max(m.n_points, 1), minimum=4096)
         pt_valid = _pad(m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points], P, False)
         # projecting the WHOLE pool subsumes TrackLocalMap for normal map
         # sizes (PARITY.md), but once the map outgrows half its pool the
         # candidate set narrows to the covisibility-local sub-map
         if m.n_points > self.cfg.map.max_points // 2 and m.keyframes:
             pt_valid = self._narrow_to_local_map(frame, pt_valid)
+        if self.pt_candidate_hook is not None:
+            pt_valid = self.pt_candidate_hook(pt_valid)
+        return pt_valid
+
+    def _fused_track(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
+        """Run fused_track_step and unpack its single readback.
+
+        Returns (pose [7], kp_idx [P], ok [P], inlier [P], n_pass1)."""
+        m = self.map
+        cam = self.cfg.camera
+        scfg = self.cfg.solver
+        P = pad_tier(max(m.n_points, 1), minimum=4096)
+        pt_valid = self._candidate_valid(frame, P)
+        host = _pad(m.pt_host[: m.n_points], P, 0).clip(0)
+        Pt = self.cfg.map.max_points
+        out = fused_track_step(
+            jnp.asarray(_pad(m.pt_ray[: m.n_points], P)),
+            jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt)),
+            jnp.asarray(m.kf_pose[host]),
+            jnp.asarray(_pad(m.pt_desc_latest[: m.n_points], P)),
+            jnp.asarray(_pad(m.pt_desc_second[: m.n_points], P)),
+            jnp.asarray(pt_valid),
+            jnp.asarray(guess.astype(np.float32)),
+            packed_kp_dev(frame),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            self.cfg.match.search_radius_3d * radius_scale,
+            self.cfg.match.th_high,
+            scfg.weight_scene,
+            width=cam.width, height=cam.height,
+            rounds=2, n_iters=scfg.iters_per_level,
+            huber=scfg.huber_scene_pose, chi2_gate=self._pose_chi2_gate(),
+        )
+        out = np.asarray(out)  # the ONE device->host transfer of the chain
+        kp_idx = out[0].astype(np.int64)
+        ok = out[1] > 0.5
+        inlier = out[2] > 0.5
+        pose = out[3, :7].astype(np.float32)
+        n1 = int(out[3, 7])
+        return pose, kp_idx, ok, inlier, n1
+
+    def _match_map(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
+        m = self.map
+        cam = self.cfg.camera
+        ensure_host_kp(frame)
+        # minimum 4096: every distinct pool tier compiles a fresh matcher
+        # program (~20-40s through the TPU tunnel); skipping the small tiers
+        # trades a few MB of masked work for 4 fewer compiles per run
+        P = pad_tier(max(m.n_points, 1), minimum=4096)
+        pt_valid = self._candidate_valid(frame, P)
         host = _pad(m.pt_host[: m.n_points], P, 0).clip(0)
         idx, ok, proj, z = search_from_3d(
             jnp.asarray(_pad(m.pt_ray[: m.n_points], P)),
@@ -578,8 +733,13 @@ class Tracker:
             kp_angle1=jnp.asarray(prev.kp_angle), kp_angle2=jnp.asarray(cur.kp_angle),
             rot_bins=mcfg.histo_length if mcfg.use_rotation_check else 0,
         )
-        idx, good = np.asarray(idx), np.asarray(good)
-        P_host = np.asarray(se3.apply(jnp.asarray(m.kf_pose[prev.kid]), jnp.asarray(P_w)))
+        # one packed readback (idx, good, P_w) instead of three
+        packed = np.asarray(jnp.concatenate(
+            [idx[:, None].astype(jnp.float32),
+             good[:, None].astype(jnp.float32), P_w], axis=1))
+        idx = packed[:, 0].astype(np.int64)
+        good = packed[:, 1] > 0.5
+        P_host = se3_np.apply(m.kf_pose[prev.kid], packed[:, 2:5])
         new_pids = []
         for i in np.nonzero(good)[0]:
             z = P_host[i, 2]
@@ -681,8 +841,8 @@ class Tracker:
             return
         # compact point remap
         upts, pinv = np.unique(point_l, return_inverse=True)
-        P = pad_tier(len(upts), minimum=2048)
-        O = pad_tier(len(tgt_l), minimum=2048)
+        P = solver_tier(len(upts), 2048, 4096)
+        O = solver_tier(len(tgt_l), 2048, 8192)
         valid = np.zeros(O, bool)
         valid[: len(tgt_l)] = True
         rho_free = np.zeros(P, bool)
@@ -744,7 +904,10 @@ class Tracker:
             theta_free[: len(tids)] = [
                 int(m.tx_host[t]) in slot for t in tids
             ]
-            cur = prob
+            # theta block uploaded ONCE; inside the level loop it lives on
+            # device (st.theta chains level to level — no per-level pull)
+            cur = prob._replace(
+                theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free))
             st = None
             levels = (self.cfg.pyramid.landmark_levels if landmark_only
                       else self.cfg.pyramid.init_ba_levels if init_ba
@@ -757,17 +920,16 @@ class Tracker:
                     st = self._solve(cur, n_iters=n_it, huber_scene=huber)
                     break
                 with phase("ba.build_text_obs"):
-                  # ONE device->host pull of the pose block per level — a
-                  # per-pair np.asarray(cur.poses[sl]) list comprehension
-                  # here cost ~0.7 s/level in synced tunnel round-trips
-                  poses_np = np.asarray(cur.poses)
+                  # the DEVICE pose block goes straight in — build_text_obs
+                  # gathers target poses on device (no per-level pose pull;
+                  # the earlier per-pair host pulls cost ~0.7 s/level)
                   tobs = tf.build_text_obs(
                     tids=pairs["tids"],
                     target_slots=pairs["target_slots"],
                     host_slots=pairs["host_slots"],
                     host_in_window=pairs["host_in_window"],
                     host_poses=pairs["host_poses"],
-                    target_poses=poses_np[np.asarray(pairs["target_slots"], np.int64)],
+                    target_poses=cur.poses,
                     target_pyrs=imgs_p,
                     target_shapes=[shape] * len(pairs["tids"]),
                     level=level,
@@ -776,10 +938,7 @@ class Tracker:
                     weight=1.0 if init_ba else None,
                     target_kids=pairs["target_kids"],
                 )
-                cur = cur._replace(
-                    theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free),
-                    text=tobs, images=jnp.asarray(imgs_p),
-                )
+                cur = cur._replace(text=tobs, images=jnp.asarray(imgs_p))
                 with phase("ba.solve_joint"):
                     st = self._solve(
                         cur,
@@ -790,27 +949,32 @@ class Tracker:
                         huber_text=scfg.huber_theta if landmark_only else scfg.huber_text,
                         text_pair_feat=self.cfg.text.max_features_per_level)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
-                theta = np.asarray(st.theta)
                 if not landmark_only or scfg.text_outlier_landmark:
                     with phase("ba.gate_text"):
                         self._gate_text_features(
                             cur, pairs, level,
                             gate=scfg.chi2_text_landmark if landmark_only else None)
-            # write back thetas of in-window hosts
+            # write back thetas of in-window hosts (ONE pull after the
+            # whole schedule)
+            theta = np.asarray(cur.theta)
             for i, t in enumerate(tids):
                 if theta_free[i] and np.isfinite(theta[i]).all():
                     m.tx_theta[t] = theta[i]
 
-        # write back
-        poses = np.asarray(st.poses)
-        for k, kid in enumerate(window_kids):
-            m.kf_pose[kid] = poses[k]
-        rho = np.asarray(st.rho)[: len(upts)]
-        m.pt_rho[upts[host_in_window_per_pt]] = rho[host_in_window_per_pt].clip(1e-4, 1e4)
-        # chi2 gating -> mark obs bad (src/optimizer.cc:1618-1686)
+        # write back — poses, rho and the chi2 gate in ONE packed readback
         prob = prob._replace(poses=st.poses, rho=st.rho)
         chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
-        chi2_px = np.asarray(chi2)[: len(tgt_l)] / (scfg.weight_scene**2 if not init_ba else 1.0)
+        packed = np.asarray(jnp.concatenate(
+            [st.poses.reshape(-1), st.rho, chi2]))
+        Kp = st.poses.shape[0]
+        poses = packed[: Kp * 7].reshape(Kp, 7)
+        for k, kid in enumerate(window_kids):
+            m.kf_pose[kid] = poses[k]
+        rho = packed[Kp * 7: Kp * 7 + st.rho.shape[0]][: len(upts)]
+        m.pt_rho[upts[host_in_window_per_pt]] = rho[host_in_window_per_pt].clip(1e-4, 1e4)
+        # chi2 gating -> mark obs bad (src/optimizer.cc:1618-1686)
+        chi2_px = packed[Kp * 7 + st.rho.shape[0]:][: len(tgt_l)] / (
+            scfg.weight_scene**2 if not init_ba else 1.0)
         # global BA / landmark-only passes (loop closing) gate at chi2 18,
         # the windowed pass at 12.25 (src/optimizer.cc:1751,:1992 vs :1238)
         all_fixed = landmark_only or len(fix) == len(window_kids)
@@ -842,8 +1006,10 @@ class Tracker:
             err, ok = ba.text_sample_errors(prob, pair_feat=F)
         with _ph("gate.pull"):
             O_real = n_pairs * F
-            err = np.asarray(err)[:O_real].reshape(n_pairs, F, 8)
-            ok = np.asarray(ok)[:O_real].reshape(n_pairs, F, 8)
+            packed = np.asarray(jnp.concatenate(
+                [err[:O_real], ok[:O_real].astype(jnp.float32)], axis=-1))
+            err = packed[..., :8].reshape(n_pairs, F, 8)
+            ok = packed[..., 8:].reshape(n_pairs, F, 8) > 0.5
         chi = scfg.chi2_text_levels[level] if gate is None else gate
         used = ok.any(-1)  # features actually contributing at this level
         bad_feat = ((err > chi) & ok).any(-1) & used  # [n_pairs, F]

@@ -10,16 +10,15 @@ world), i.e. the inverse of the tracked Tcw.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
-from ..geometry import se3
+from ..geometry import se3_np
 
 
 def tum_lines(timestamps, poses_cw) -> str:
     """Format poses (Tcw, [N, 7] wxyz+t) as TUM lines (Twc, xyzw quat order)."""
     out = []
-    T = jnp.asarray(np.asarray(poses_cw, np.float64), dtype=jnp.float32)
-    Twc = np.asarray(se3.inverse(T))
+    T = np.asarray(poses_cw, np.float32)
+    Twc = se3_np.inverse(T)
     for ts, p in zip(timestamps, Twc):
         qw, qx, qy, qz, tx, ty, tz = p
         out.append(f"{ts:.6f} {tx:.7f} {ty:.7f} {tz:.7f} {qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}")

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TextSLAMConfig
-from ..geometry import se3, sim3
+from ..geometry import se3, se3_np, sim3
 from ..geometry.camera import unproject
 from ..ops import matching, levenshtein, rasterize
 from ..solver import sim3_opt
@@ -228,7 +228,7 @@ class LoopCloser:
             ok = m.pt_valid[pids] & ~m.pt_bad[pids]
             sel, pids = sel[ok], pids[ok]
             xyz_w = m.point_world(pids)
-            p_cam = np.asarray(se3.apply(jnp.asarray(m.kf_pose[kf.kid]), jnp.asarray(xyz_w.astype(np.float32))))
+            p_cam = se3_np.apply(m.kf_pose[kf.kid], xyz_w.astype(np.float32))
             return sel, pids, p_cam
 
         sel_c, pid_c, P_c = kf_3d(kf_c)
@@ -254,11 +254,12 @@ class LoopCloser:
                     continue
                 # backproject via the plane: ray in kf frame; need theta in kf
                 # frame: theta hosted at host -> transform via T_kf,host
-                from ..geometry.plane import transform_theta
-
-                T_hk = se3.relative(jnp.asarray(m.kf_pose[host]), jnp.asarray(m.kf_pose[kf.kid]))
-                th_k = np.asarray(transform_theta(jnp.asarray(m.tx_theta[tid]), T_hk))
-                rays = np.asarray(unproject(jnp.asarray(kf.kp_uv[sel]), cam.fx, cam.fy, cam.cx, cam.cy))
+                # (plane.transform_theta twin, host numpy — per-object loop)
+                T_hk = se3_np.relative(m.kf_pose[host], m.kf_pose[kf.kid])
+                th = m.tx_theta[tid]
+                th_k = (se3_np.qrotate(se3_np.qconj(T_hk[:4]), th)
+                        / (float(T_hk[4:7] @ th) + 1.0))
+                rays = se3_np.unproject(kf.kp_uv[sel], cam.fx, cam.fy, cam.cx, cam.cy)
                 rho = -(rays * th_k).sum(-1)
                 okz = rho > 1e-4
                 p = rays[okz] / rho[okz][:, None]
@@ -620,12 +621,8 @@ class LoopCloser:
 
             def project_quad(tid, pose):
                 Pw = tf._quad_world(tid)
-                pc = np.asarray(se3.apply(
-                    jnp.asarray(pose.astype(np.float32)), jnp.asarray(Pw)))
-                from ..geometry.camera import project as cam_project
-
-                uv = np.asarray(cam_project(
-                    jnp.asarray(pc), cam.fx, cam.fy, cam.cx, cam.cy))
+                pc = se3_np.apply(pose.astype(np.float32), Pw)
+                uv = se3_np.project(pc, cam.fx, cam.fy, cam.cx, cam.cy)
                 return uv, pc[:, 2]
 
             # (1) loop-object label quads under the corrected pose

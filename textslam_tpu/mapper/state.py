@@ -302,15 +302,14 @@ class SlamMap:
 
     def point_world(self, pids: np.ndarray) -> np.ndarray:
         """xyz world positions (GetxyzPos: Twr·(ray/rho), src/mapPts.cc:126-134)."""
-        from ..geometry import se3
-        import jax.numpy as jnp
+        from ..geometry import se3_np
 
         host = self.pt_host[pids]
         ray = self.pt_ray[pids]
         rho = self.pt_rho[pids].clip(1e-9)
-        T_rw = jnp.asarray(self.kf_pose[host])
-        p_r = jnp.asarray(ray / rho[:, None])
-        return np.array(se3.apply(se3.inverse(T_rw), p_r))
+        T_rw = self.kf_pose[host]
+        p_r = ray / rho[:, None]
+        return se3_np.apply(se3_np.inverse(T_rw), p_r).astype(np.float32)
 
     def replace_point(self, old_pid: int, new_pid: int, rebuild: bool = False):
         """Loop fusion: rewire every observation of old into new

@@ -285,6 +285,41 @@ def extract_box_orb(
     )
 
 
+@jax.jit
+def pack_keypoints(*kps: Keypoints) -> jnp.ndarray:
+    """Pack one or more Keypoints pools into a single [N, 14] f32 array for
+    ONE device->host transfer (cols: uv 2, level 1, angle 1, score 1,
+    valid 1, desc-bits 8). Each readback is a full tunnel round-trip
+    (~25-100 ms measured round 4); the un-packed Frame constructor paid 10
+    of them per frame. Decode with unpack_keypoints_np."""
+    rows = []
+    for kp in kps:
+        desc_f = jax.lax.bitcast_convert_type(kp.desc, jnp.float32)
+        rows.append(jnp.concatenate([
+            kp.uv,
+            kp.level.astype(jnp.float32)[:, None],
+            kp.angle[:, None],
+            kp.score[:, None],
+            kp.valid.astype(jnp.float32)[:, None],
+            desc_f,
+        ], axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def unpack_keypoints_np(packed: np.ndarray):
+    """Host-side decode of pack_keypoints output.
+
+    Returns (uv [N,2] f32, level [N] i32, angle [N] f32, score [N] f32,
+    valid [N] bool, desc [N,8] u32)."""
+    uv = packed[:, 0:2].astype(np.float32)
+    level = packed[:, 2].astype(np.int32)
+    angle = packed[:, 3].astype(np.float32)
+    score = packed[:, 4].astype(np.float32)
+    valid = packed[:, 5] > 0.5
+    desc = np.ascontiguousarray(packed[:, 6:14], dtype=np.float32).view(np.uint32)
+    return uv, level, angle, score, valid, desc
+
+
 def pad_keypoints(kp: Keypoints, capacity: int) -> Keypoints:
     """Pad/truncate a Keypoints pool to a fixed capacity."""
     n = kp.uv.shape[0]

@@ -92,4 +92,7 @@ def pack_pyramid(imgs, grads, pad_to=None):
         shapes[l] = (h, w)
         lvl = jnp.concatenate([im[..., None], g], axis=-1)
         data = data.at[l, :h, :w, :].set(lvl)
-    return {"data": data, "shapes": jnp.asarray(shapes)}
+    # shapes stay HOST numpy: they are static per-camera metadata consumed
+    # by host code every frame (np.asarray on a device copy would cost a
+    # tunnel round-trip per frame); device consumers upload the 8x2 ints
+    return {"data": data, "shapes": shapes}
