@@ -97,11 +97,14 @@ def e2e_extra():
     """Secondary end-to-end throughput metric (VERDICT r1 item 8): run the
     full pipeline over a short rendered sequence in a subprocess with a hard
     timeout, so a slow/dropped device tunnel can never hang the primary
-    benchmark. The phase attribution (bench_e2e.py, BASELINE.md round-3
-    e2e timing table) shows the cost is NOT dispatch RPC (~0.04 ms RTT):
-    it is jit recompiles when the map's padded shape tiers grow, plus the
-    per-BA upload of window pyramids — both amortize on long runs via the
-    persistent compile cache and the device pyramid cache."""
+    benchmark. Round-4 finding (BASELINE.md round-4 e2e table): the
+    dominant e2e cost through the tunnel is device->host SYNCHRONIZATION
+    (each blocking readback is a 25-300 ms round-trip, volatile by the
+    minute) plus solver recompiles on padded-tier growth; the pipeline now
+    runs ~1 fused program + 1 packed readback per stage, with
+    backend-scaled tier floors so a run sees <=2 solver shapes. The
+    12-frame horizon here is KF-dense (warmup-heavy), so this extra
+    under-reports the steady fps of longer runs (bench_e2e.py 24/60)."""
     try:
         r = subprocess.run(
             ["python", os.path.join(_HERE, "bench_e2e.py"), "12"],
