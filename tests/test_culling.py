@@ -10,6 +10,7 @@
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from textslam_tpu.config import TextSLAMConfig, CameraConfig
@@ -135,10 +136,14 @@ def _frontend_with_immature(monkeypatch, theta_result):
                      state=TEXT_IMMATURE)
     theta, ok = theta_result
 
-    def batch_stub(imm, frame):
+    def batch_stub(imm, frame, geo_dev=None):
+        # new contract: DEVICE [n, 12] packed (theta 3 | H 9); solver
+        # failure is encoded as a non-finite/degenerate theta row
         n = len(imm)
-        return (np.tile(theta, (n, 1)), np.full(n, ok, bool),
-                np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)))
+        th = (np.tile(theta, (n, 1)) if ok
+              else np.zeros((n, 3), np.float32))
+        H = np.tile(np.eye(3, dtype=np.float32).reshape(1, 9), (n, 1))
+        return jnp.asarray(np.concatenate([th, H], axis=1))
 
     monkeypatch.setattr(tf, "_theta_optimize_batch", batch_stub)
     monkeypatch.setattr(
@@ -181,12 +186,12 @@ class TestImmatureLifecycle:
                   np.array([0.8, 0, -1.0], np.float32)]
         calls = {"n": 0}
 
-        def flip(imm, frame):
+        def flip(imm, frame, geo_dev=None):
             calls["n"] += 1
             th = thetas[calls["n"] % 2]
             n = len(imm)
-            return (np.tile(th, (n, 1)), np.full(n, True, bool),
-                    np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)))
+            H = np.tile(np.eye(3, dtype=np.float32).reshape(1, 9), (n, 1))
+            return jnp.asarray(np.concatenate([np.tile(th, (n, 1)), H], axis=1))
 
         tf._theta_optimize_batch = flip
         for _ in range(6):

@@ -257,8 +257,12 @@ class TestBoxORB:
         det = TextDetection(
             quad=np.array([[60, 40], [180, 40], [180, 100], [60, 100]], np.float32),
             text="HELLO", score=0.9)
+        from textslam_tpu.frontend.frame import ensure_host_kp
+
         f_no = build_frame(cfg, img, 0, 0.0, detections=None, with_pyramid=False)
         f_yes = build_frame(cfg, img, 0, 0.0, detections=[det], with_pyramid=False)
+        ensure_host_kp(f_no)
+        ensure_host_kp(f_yes)
         assert f_yes.kp_uv.shape[0] == f_no.kp_uv.shape[0] + cfg.orb.n_box_features
 
 

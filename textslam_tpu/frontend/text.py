@@ -1339,8 +1339,29 @@ class TextFrontend:
                 if vis else 0)
         else:
             with phase("track.text_refine"):
-                pose, geo, full = self._fused_frame_hook(
+                out_dev = self._fused_frame_hook(
                     frame, pose, good_pids, good_kps)
+            # overlap the round-trips: the IMMATURE maturation solve and
+            # the KLT advance dispatch against the DEVICE geo row before
+            # the hook result is read back (TextUpdate gates by geo only,
+            # and uses the pre-refine pose — same as the sequential order)
+            with phase("track.immature"):
+                imm_handle = self.dispatch_immature(
+                    frame, geo_dev=out_dev[0] > 0.5)
+            with phase("track.klt"):
+                self.track_new_text(frame)
+            with phase("track.text_refine"):
+                out = np.asarray(out_dev)  # ONE readback of the hook chain
+                geo = out[0, : m.n_texts] > 0.5
+                full = out[1, : m.n_texts] > 0.5
+                pose = out[2, :7].astype(np.float32)
+                self.last_text_rows = int(out[2, 7])
+            m.tx_good_obs[: len(geo)][geo & full] += 1
+            m.tx_bad_obs[: len(geo)][geo & ~full] += 1
+            with phase("track.immature"):
+                self.apply_immature(imm_handle, geo)
+            return pose
+        # gate-only fallback path (no pyramid / empty pool)
         # counters: good when all gates pass; bad only when geometrically
         # visible but failing the appearance (ZNCC) gate
         m.tx_good_obs[: len(geo)][geo & full] += 1
@@ -1358,9 +1379,11 @@ class TextFrontend:
         return pose
 
     def _fused_frame_hook(self, frame, pose, good_pids, good_kps):
-        """Assemble inputs for fused_text_frame and unpack its one readback.
+        """Assemble inputs for fused_text_frame and dispatch it.
 
-        Returns (pose [7], geo [n_texts], full [n_texts])."""
+        Returns the DEVICE [3, R] output (geo row | full row | pose+counts
+        row) — the caller reads it back in one transfer, after overlapping
+        other dispatches against it."""
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
@@ -1450,12 +1473,7 @@ class TextFrontend:
             huber_scene=scfg.huber_scene_pose, huber_text=scfg.huber_text,
             weight_text=scfg.weight_text,
         )
-        out = np.asarray(out)  # the ONE readback of the text frame hook
-        geo = out[0, : m.n_texts] > 0.5
-        full = out[1, : m.n_texts] > 0.5
-        pose_out = out[2, :7].astype(np.float32)
-        self.last_text_rows = int(out[2, 7])
-        return pose_out, geo, full
+        return out  # DEVICE [3, R] handle; caller reads back once
 
     def on_keyframe(self, frame, kid: int):
         m = self.map
@@ -1542,20 +1560,55 @@ class TextFrontend:
         promote to GOOD when cos(theta_new, theta_old) >= 0.9 and
         NumObvs >= 4 (:1949-1958)."""
         m = self.map
-        cfg = self.cfg
         if frame is None or frame.pyr_shapes is None or frame.pose is None:
             return
         if geo is None:
             geo, _ = self._gates(frame.pose, None)
+        handle = self.dispatch_immature(frame)
+        self.apply_immature(handle, geo)
+
+    def dispatch_immature(self, frame, geo_dev=None):
+        """Build + dispatch the batched IMMATURE theta solve for ALL live
+        IMMATURE objects, optionally gated in-device by geo_dev (the geo
+        row of fused_text_frame's device output) so it can launch BEFORE
+        the gate readback and overlap the two round-trips. Returns an
+        opaque handle for apply_immature, or None."""
+        m = self.map
+        if frame is None or frame.pyr_shapes is None or frame.pose is None:
+            return None
         imm = [tid for tid in range(m.n_texts)
-               if m.tx_valid[tid] and m.tx_state[tid] == TEXT_IMMATURE
-               and tid < len(geo) and geo[tid]]
+               if m.tx_valid[tid] and m.tx_state[tid] == TEXT_IMMATURE]
         if not imm:
+            return None
+        theta_old = m.tx_theta[np.asarray(imm, np.int64)].copy()
+        packed_dev = self._theta_optimize_batch(imm, frame, geo_dev=geo_dev)
+        return (imm, theta_old, packed_dev)
+
+    def apply_immature(self, handle, geo):
+        """Readback + state machine of the dispatched IMMATURE solve; geo
+        is the HOST geo mask of the same frame (only geo-passing objects
+        count an observation / get their theta applied, matching
+        TextUpdate's TextJudgeSingle gate)."""
+        m = self.map
+        cfg = self.cfg
+        if handle is None:
             return
-        imm_np = np.asarray(imm, np.int64)
-        m.tx_num_obvs[imm_np] += 1
-        theta_old = m.tx_theta[imm_np].copy()
-        th, oks, Hs = self._theta_optimize_batch(imm, frame)
+        imm_all, theta_old_all, packed_dev = handle
+        packed = np.asarray(packed_dev)  # the ONE maturation readback
+        th_all = packed[: len(imm_all), :3]
+        Hs_all = packed[: len(imm_all), 3:].reshape(-1, 3, 3)
+        oks_all = (np.isfinite(th_all).all(-1)
+                   & (np.linalg.norm(th_all, axis=-1) > 1e-6))
+        sel = [i for i, tid in enumerate(imm_all)
+               if tid < len(geo) and geo[tid]]
+        if not sel:
+            return
+        imm = [imm_all[i] for i in sel]
+        m.tx_num_obvs[np.asarray(imm, np.int64)] += 1
+        th = th_all[sel]
+        oks = oks_all[sel]
+        Hs = Hs_all[sel]
+        theta_old = theta_old_all[sel]
         for i, tid in enumerate(imm):
             theta_new = th[i]
             if not oks[i]:
@@ -1573,11 +1626,13 @@ class TextFrontend:
                     and m.tx_num_obvs[tid] >= cfg.text.min_obs_promote):
                 m.tx_state[tid] = TEXT_GOOD
 
-    def _theta_optimize_batch(self, imm, frame):
+    def _theta_optimize_batch(self, imm, frame, geo_dev=None):
         """ONE batched program for all IMMATURE objects' theta refinement
         (fused_theta_optimize_all); per-object dispatches multiplied
-        per-frame cost by the object count (VERDICT r3 weak #5). Returns
-        (theta [n, 3], ok [n], H [n, 3, 3]) numpy, aligned with `imm`."""
+        per-frame cost by the object count (VERDICT r3 weak #5). Returns a
+        DEVICE [N, 12] array (theta 3 | H 9) aligned with `imm` — the
+        caller unpacks with one readback. geo_dev optionally masks objects
+        by the current frame's device-side geo-visibility row."""
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
@@ -1654,23 +1709,27 @@ class TextFrontend:
                 slices += [zero] * (M - len(slices))
             imgs_levels.append(jnp.stack(slices))
 
+        obj_valid_dev = jnp.asarray(obj_valid)
+        if geo_dev is not None:
+            # gate by the CURRENT frame's device-side geometric visibility
+            # (lets the caller dispatch this solve before the gate readback)
+            R = geo_dev.shape[0]
+            tid_arr = np.zeros(N, np.int32)
+            tid_arr[: len(imm)] = np.asarray(imm, np.int32).clip(0, R - 1)
+            obj_valid_dev = obj_valid_dev & geo_dev[jnp.asarray(tid_arr)]
         th_j, H_j, cost_j = fused_theta_optimize_all(
             jnp.asarray(theta0), jnp.asarray(host_poses), jnp.asarray(quads0),
             jnp.asarray(poses), jnp.asarray(tgt_img), jnp.asarray(tgt_valid),
-            jnp.asarray(obj_valid),
+            obj_valid_dev,
             jnp.asarray(feat_uv), jnp.asarray(feat_ref), jnp.asarray(fvk),
             tuple(imgs_levels),
             cam.fx, cam.fy, cam.cx, cam.cy,
             levels=levels, n_iters=scfg.iters_per_level,
             huber_theta=scfg.huber_theta, weight_text=scfg.weight_text,
         )
-        packed = np.asarray(jnp.concatenate(
-            [th_j, H_j.reshape(th_j.shape[0], 9)], axis=1))  # one readback
-        th = packed[: len(imm), :3]
-        Hs = packed[: len(imm), 3:].reshape(-1, 3, 3)
-        oks = (np.isfinite(th).all(-1)
-               & (np.linalg.norm(th, axis=-1) > 1e-6))
-        return th, oks, Hs
+        # DEVICE handle — the caller pulls (one packed readback), possibly
+        # after overlapping other work with this solve
+        return jnp.concatenate([th_j, H_j.reshape(th_j.shape[0], 9)], axis=1)
 
     def _theta_optimize(self, tid: int, obs_kfs, extra_target=None):
         """theta-only refinement over observing KFs (PyrThetaOptim).

@@ -562,7 +562,9 @@ class Tracker:
         P = pad_tier(max(m.n_points, 1), minimum=4096)
         pt_valid = self._candidate_valid(frame, P)
         host = _pad(m.pt_host[: m.n_points], P, 0).clip(0)
-        Pt = self.cfg.map.max_points
+        # rho pool sized >= the candidate tier: reduced-cap configs (long-
+        # regime tests) can have max_points below the 4096 candidate floor
+        Pt = max(self.cfg.map.max_points, P)
         out = fused_track_step(
             jnp.asarray(_pad(m.pt_ray[: m.n_points], P)),
             jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt)),
@@ -892,6 +894,8 @@ class Tracker:
             n_it = scfg.iters_per_level * (3 if init_ba else 2)
             huber = scfg.huber_scene_init if init_ba else scfg.huber_scene_pose
 
+        gate_outs = []
+        theta_dev = None
         if text_part is None:
             with phase("ba.solve_scene"):
                 st = self._solve(prob, n_iters=n_it, huber_scene=huber)
@@ -950,22 +954,31 @@ class Tracker:
                         text_pair_feat=self.cfg.text.max_features_per_level)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
                 if not landmark_only or scfg.text_outlier_landmark:
+                    # the per-level gate READBACK is deferred: within one
+                    # windowed solve, level l's gate flags only feed FUTURE
+                    # solves (each level's build reads its own flag plane
+                    # and the pair set is fixed before the loop), so the
+                    # sample errors accumulate on device and come back in
+                    # the single end-of-solve readback below
                     with phase("ba.gate_text"):
-                        self._gate_text_features(
-                            cur, pairs, level,
-                            gate=scfg.chi2_text_landmark if landmark_only else None)
-            # write back thetas of in-window hosts (ONE pull after the
-            # whole schedule)
-            theta = np.asarray(cur.theta)
-            for i, t in enumerate(tids):
-                if theta_free[i] and np.isfinite(theta[i]).all():
-                    m.tx_theta[t] = theta[i]
+                        F = self.cfg.text.max_features_per_level
+                        n_pairs = len(pairs["tids"])
+                        err, ok = ba.text_sample_errors(cur, pair_feat=F)
+                        O_real = n_pairs * F
+                        gate_outs.append((level, jnp.concatenate(
+                            [err[:O_real],
+                             ok[:O_real].astype(jnp.float32)], axis=-1)))
+            theta_dev = cur.theta
 
-        # write back — poses, rho and the chi2 gate in ONE packed readback
+        # write back — poses, rho, scene chi2, thetas AND all deferred
+        # per-level text-gate errors in ONE packed readback
         prob = prob._replace(poses=st.poses, rho=st.rho)
         chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
-        packed = np.asarray(jnp.concatenate(
-            [st.poses.reshape(-1), st.rho, chi2]))
+        parts = [st.poses.reshape(-1), st.rho, chi2]
+        if theta_dev is not None:
+            parts.append(theta_dev.reshape(-1))
+        parts += [g.reshape(-1) for _, g in gate_outs]
+        packed = np.asarray(jnp.concatenate(parts))
         Kp = st.poses.shape[0]
         poses = packed[: Kp * 7].reshape(Kp, 7)
         for k, kid in enumerate(window_kids):
@@ -973,8 +986,23 @@ class Tracker:
         rho = packed[Kp * 7: Kp * 7 + st.rho.shape[0]][: len(upts)]
         m.pt_rho[upts[host_in_window_per_pt]] = rho[host_in_window_per_pt].clip(1e-4, 1e4)
         # chi2 gating -> mark obs bad (src/optimizer.cc:1618-1686)
-        chi2_px = packed[Kp * 7 + st.rho.shape[0]:][: len(tgt_l)] / (
+        off = Kp * 7 + st.rho.shape[0]
+        chi2_px = packed[off: off + chi2.shape[0]][: len(tgt_l)] / (
             scfg.weight_scene**2 if not init_ba else 1.0)
+        off += chi2.shape[0]
+        if theta_dev is not None:
+            # thetas of in-window hosts
+            theta = packed[off: off + theta_dev.size].reshape(-1, 3)
+            off += theta_dev.size
+            for i, t in enumerate(tids):
+                if theta_free[i] and np.isfinite(theta[i]).all():
+                    m.tx_theta[t] = theta[i]
+        for level, g in gate_outs:
+            n = g.size
+            self._apply_text_gate(
+                pairs, level, packed[off: off + n].reshape(-1, 16),
+                gate=scfg.chi2_text_landmark if landmark_only else None)
+            off += n
         # global BA / landmark-only passes (loop closing) gate at chi2 18,
         # the windowed pass at 12.25 (src/optimizer.cc:1751,:1992 vs :1238)
         all_fixed = landmark_only or len(fix) == len(window_kids)
@@ -987,29 +1015,19 @@ class Tracker:
             m.keyframes[kid].obs_good[kp_of_obs[rows]] = False
         np.add.at(m.pt_bad_obs, point_l[bad_idx], 1)
 
-    def _gate_text_features(self, prob, pairs, level: int, gate=None):
-        """Per-(KF, feature) text chi2 gate after one BA level
-        (src/optimizer.cc:1259-1303 / :1618-1686): a feature observation is
-        bad when any of its 8 normalized sample errors exceeds
-        chi2Text[level] (or the flat `gate` override — chi2_text_landmark in
-        the landmarker schedule); the whole (KF, object) observation goes bad
-        when more than text_bad_ratio (0.99) of its features are bad."""
+    def _apply_text_gate(self, pairs, level: int, packed: np.ndarray,
+                         gate=None):
+        """Host half of the text chi2 gate: packed [n_pairs*F, 16] =
+        (|err| 8 | ok 8) rows. A feature observation is bad when any of its
+        8 normalized sample errors exceeds chi2Text[level] (or the flat
+        `gate` override); the whole (KF, object) observation goes bad when
+        more than text_bad_ratio (0.99) of its features are bad."""
         m = self.map
         scfg = self.cfg.solver
         F = self.cfg.text.max_features_per_level
         n_pairs = len(pairs["tids"])
-        if n_pairs == 0 or prob.text is None:
-            return
-        from ..utils.profiling import phase as _ph
-
-        with _ph("gate.sample_errors"):
-            err, ok = ba.text_sample_errors(prob, pair_feat=F)
-        with _ph("gate.pull"):
-            O_real = n_pairs * F
-            packed = np.asarray(jnp.concatenate(
-                [err[:O_real], ok[:O_real].astype(jnp.float32)], axis=-1))
-            err = packed[..., :8].reshape(n_pairs, F, 8)
-            ok = packed[..., 8:].reshape(n_pairs, F, 8) > 0.5
+        err = packed[..., :8].reshape(n_pairs, F, 8)
+        ok = packed[..., 8:].reshape(n_pairs, F, 8) > 0.5
         chi = scfg.chi2_text_levels[level] if gate is None else gate
         used = ok.any(-1)  # features actually contributing at this level
         bad_feat = ((err > chi) & ok).any(-1) & used  # [n_pairs, F]
