@@ -1062,20 +1062,25 @@ class TextFrontend:
     def build_text_obs(self, tids, target_slots, host_slots, host_in_window,
                        host_poses, target_poses, target_pyrs, target_shapes,
                        level: int, tid_to_lm: dict, weight: float = None,
-                       target_kids=None):
+                       target_kids=None, cache: dict = None):
         """Build a padded TextObs batch for one pyramid level (fully batched:
         one kernel for quad projection, one for mu/sigma, numpy reshapes for
         the rest). mu/sigma are recomputed from the current estimates at
-        problem build, matching src/optimizer.cc:1179-1184."""
+        problem build, matching src/optimizer.cc:1179-1184.
+
+        `cache`: a dict the CALLER keeps for the duration of one windowed
+        solve — the level-INDEPENDENT inputs (pair geometry uploads, padded
+        row metadata) are built and uploaded once and reused across the
+        coarse-to-fine levels (the pair set is fixed for the whole solve)."""
         m = self.map
         cam = self.cfg.camera
         n_pairs = len(tids)
         if n_pairs == 0:
             return None
         fxl, fyl, cxl, cyl = self._level_K(level)
-        sc = 2.0**level
         F = self.cfg.text.max_features_per_level
         tids_np = np.asarray(tids, np.int64)
+        c = cache if cache is not None else {}
 
         from ..utils.profiling import phase
 
@@ -1085,16 +1090,20 @@ class TextFrontend:
         from .tracking import solver_tier
 
         Np = solver_tier(n_pairs, 32, 64)
-        quads_p = np.zeros((Np, 4, 2), np.float32)
-        quads_p[:n_pairs] = m.tx_quad[tids_np]
-        thetas_p = np.zeros((Np, 3), np.float32)
-        thetas_p[:, 2] = -1.0
-        thetas_p[:n_pairs] = m.tx_theta[tids_np]
-        hposes_p = np.zeros((Np, 7), np.float32)
-        hposes_p[:, 0] = 1.0
-        hposes_p[:n_pairs] = np.asarray(host_poses, np.float32)
-        tgt_p = np.zeros(Np, np.int32)
-        tgt_p[:n_pairs] = np.asarray(target_slots, np.int32)
+        if "geom" not in c:
+            quads_p = np.zeros((Np, 4, 2), np.float32)
+            quads_p[:n_pairs] = m.tx_quad[tids_np]
+            thetas_p = np.zeros((Np, 3), np.float32)
+            thetas_p[:, 2] = -1.0
+            thetas_p[:n_pairs] = m.tx_theta[tids_np]
+            hposes_p = np.zeros((Np, 7), np.float32)
+            hposes_p[:, 0] = 1.0
+            hposes_p[:n_pairs] = np.asarray(host_poses, np.float32)
+            tgt_p = np.zeros(Np, np.int32)
+            tgt_p[:n_pairs] = np.asarray(target_slots, np.int32)
+            c["geom"] = (jnp.asarray(quads_p), jnp.asarray(thetas_p),
+                         jnp.asarray(hposes_p), jnp.asarray(tgt_p), hposes_p)
+        quads_d, thetas_d, hposes_d, tgt_d, hposes_p = c["geom"]
         if isinstance(target_poses, jnp.ndarray):
             # device pose block (the windowed-BA path): gather target poses
             # on device — no per-level device->host pose pull
@@ -1104,15 +1113,15 @@ class TextFrontend:
                 [target_poses[jnp.asarray(np.asarray(target_slots, np.int32))],
                  jnp.asarray(ident)], axis=0)
         else:
-            tposes_np = hposes_p.copy()
+            tposes_np = np.asarray(hposes_p).copy()
             tposes_np[:n_pairs] = np.asarray(target_poses, np.float32)
             tposes_p = jnp.asarray(tposes_np)
         fuv_p = np.zeros((Np, F, 2), np.float32)
         fuv_p[:n_pairs] = m.tx_feat_uv[tids_np, level]
         with phase("btx.geom"):
             mu_j, sigma_j, rays_j = _pair_geometry(
-            jnp.asarray(quads_p), jnp.asarray(thetas_p), jnp.asarray(hposes_p),
-            tposes_p, jnp.asarray(tgt_p),
+            quads_d, thetas_d, hposes_d,
+            tposes_p, tgt_d,
             jnp.asarray(target_pyrs), jnp.asarray(fuv_p),
                 cam.fx, cam.fy, cam.cx, cam.cy, fxl, fyl, cxl, cyl)
 
@@ -1138,19 +1147,34 @@ class TextFrontend:
         from .tracking import solver_tier
 
         O = solver_tier(O_real, 1024, 4096)
-        tgt = np.repeat(np.asarray(target_slots, np.int32), F)
-        host = np.repeat(np.asarray(host_slots, np.int32), F)
-        hiw = np.repeat(np.asarray(host_in_window, bool), F)
-        hpose = np.repeat(hposes, F, axis=0)
-        text_idx = np.repeat(np.asarray([tid_to_lm[t] for t in tids], np.int32), F)
 
         def padp(a, fill=0):
             if a.shape[0] >= O:
                 return a[:O]
             return np.pad(a, [(0, O - a.shape[0])] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
 
-        hp = padp(hpose)
-        hp[O_real:, 0] = 1.0
+        if "rows" not in c:
+            # level-independent padded row metadata, uploaded once per solve
+            tgt = np.repeat(np.asarray(target_slots, np.int32), F)
+            host = np.repeat(np.asarray(host_slots, np.int32), F)
+            hiw = np.repeat(np.asarray(host_in_window, bool), F)
+            hpose = np.repeat(hposes, F, axis=0)
+            text_idx = np.repeat(
+                np.asarray([tid_to_lm[t] for t in tids], np.int32), F)
+            hp = padp(hpose)
+            hp[O_real:, 0] = 1.0
+            c["rows"] = dict(
+                tgt=jnp.asarray(padp(tgt)),
+                host=jnp.asarray(padp(host)),
+                hp=jnp.asarray(hp),
+                hiw=jnp.asarray(padp(hiw, False)),
+                text=jnp.asarray(padp(text_idx)),
+                weight=jnp.asarray(padp(np.full(
+                    O_real,
+                    self.cfg.solver.weight_text if weight is None else weight,
+                    np.float32))),
+            )
+        rows = c["rows"]
         # (mu, sigma) and the pattern rays stay ON DEVICE: the former host
         # repeat/reshape forced three device->host readbacks per level-pass
         # (~25 ms each through the tunnel) for data the solver consumes on
@@ -1166,18 +1190,15 @@ class TextFrontend:
                 [rays_dev, jnp.zeros((O - O_real, 8, 3), jnp.float32)], axis=0)
         with phase("btx.rows"):
           return ba.TextObs(
-            tgt=jnp.asarray(padp(tgt)),
-            host=jnp.asarray(padp(host)),
-            host_frozen_pose=jnp.asarray(hp),
-            host_in_window=jnp.asarray(padp(hiw, False)),
-            text=jnp.asarray(padp(text_idx)),
+            tgt=rows["tgt"],
+            host=rows["host"],
+            host_frozen_pose=rows["hp"],
+            host_in_window=rows["hiw"],
+            text=rows["text"],
             rays=rays_dev,
             ref_inten=jnp.asarray(padp(ref.reshape(O_real, 8).astype(np.float32))),
             mu_sigma=ms_dev,
-            weight=jnp.asarray(padp(np.full(
-                O_real,
-                self.cfg.solver.weight_text if weight is None else weight,
-                np.float32))),
+            weight=rows["weight"],
             valid=jnp.asarray(padp(fvalid.reshape(O_real), False)),
             level=level,
         )

@@ -913,6 +913,7 @@ class Tracker:
             cur = prob._replace(
                 theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free))
             st = None
+            btx_cache = {}  # level-independent batch inputs, one solve
             levels = (self.cfg.pyramid.landmark_levels if landmark_only
                       else self.cfg.pyramid.init_ba_levels if init_ba
                       else self.cfg.pyramid.ba_levels)
@@ -941,6 +942,7 @@ class Tracker:
                     # PyrIniBA is unweighted (auto_IniBAScene/nume_IniBAText)
                     weight=1.0 if init_ba else None,
                     target_kids=pairs["target_kids"],
+                    cache=btx_cache,
                 )
                 cur = cur._replace(text=tobs, images=jnp.asarray(imgs_p))
                 with phase("ba.solve_joint"):
