@@ -58,19 +58,16 @@ def result():
     tr.pt_candidate_hook = amnesia_hook
 
     tf = tr.text_frontend
-    orig_gates = tf._gates
 
-    def gates_with_amnesia(pose_cw, frame):
-        geo, full = orig_gates(pose_cw, frame)
+    def text_amnesia_mask(n_texts):
         cut = amnesia["cutoff"]
+        mask = np.ones(n_texts, bool)
         if cut is not None:
             m = slam.map
-            old = m.tx_host[: m.n_texts] < cut
-            geo = geo & ~old
-            full = full & ~old
-        return geo, full
+            mask &= ~(m.tx_host[:n_texts] < cut)
+        return mask
 
-    tf._gates = gates_with_amnesia
+    tf.pool_mask_hook = text_amnesia_mask
 
     quarter = len(frames) // 4
     half = len(frames) // 2
@@ -91,21 +88,32 @@ def result():
     # per-frame matcher consumes — loop-side (old leg) points must re-enter
     post_loop_hosts = []
     if slam.loop_closer.closed_loops:
-        orig_fused = tr._fused_track
-
-        def fused_recording(frame, guess, radius_scale=1.0):
-            pose, kp_idx, ok, inlier, n1 = orig_fused(frame, guess, radius_scale)
+        def record(ok):
             m = slam.map
             sel = np.nonzero(ok)[0]
             sel = sel[sel < m.n_points]
             post_loop_hosts.append(m.pt_host[sel].copy())
+
+        orig_fused = tr._fused_track
+        orig_chain = tr._chain_frame
+
+        def fused_recording(frame, guess, radius_scale=1.0):
+            pose, kp_idx, ok, inlier, n1 = orig_fused(frame, guess, radius_scale)
+            record(ok)
             return pose, kp_idx, ok, inlier, n1
 
+        def chain_recording(frame, guess, radius_scale=1.0):
+            track, hook, imm = orig_chain(frame, guess, radius_scale)
+            record(track[2])
+            return track, hook, imm
+
         tr._fused_track = fused_recording
+        tr._chain_frame = chain_recording
         # original timestamps: any KF inserted here still indexes valid GT
         for i in range(len(frames) - 3, len(frames)):
             slam.track_monocular(frames[i], float(i), detections=dets[i])
         tr._fused_track = orig_fused
+        tr._chain_frame = orig_chain
     return slam, gt, world, post_loop_hosts
 
 

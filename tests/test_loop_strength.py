@@ -95,19 +95,16 @@ def run_with_amnesia(cfg, n_frames=32, kind="outback", seed=0,
 
     tr.pt_candidate_hook = amnesia_hook
     tf = tr.text_frontend
-    orig_gates = tf._gates
 
-    def gates_with_amnesia(pose_cw, frame):
-        geo, full = orig_gates(pose_cw, frame)
+    def text_amnesia_mask(n_texts):
         cut = amnesia["cutoff"]
+        mask = np.ones(n_texts, bool)
         if cut is not None:
             m = slam.map
-            old = m.tx_host[: m.n_texts] < cut
-            geo = geo & ~old
-            full = full & ~old
-        return geo, full
+            mask &= ~(m.tx_host[:n_texts] < cut)
+        return mask
 
-    tf._gates = gates_with_amnesia
+    tf.pool_mask_hook = text_amnesia_mask
 
     quarter = n_frames // 4
     half = n_frames // 2
@@ -122,7 +119,7 @@ def run_with_amnesia(cfg, n_frames=32, kind="outback", seed=0,
         slam.track_monocular(img, float(i), detections=dets[i])
     amnesia["cutoff"] = None
     tr.pt_candidate_hook = None
-    tf._gates = orig_gates
+    tf.pool_mask_hook = None
     return slam, gt, world, boundary_kid
 
 
@@ -358,18 +355,15 @@ class TestMultiLoop:
 
         tr.pt_candidate_hook = amnesia_hook
         tf = tr.text_frontend
-        orig_gates = tf._gates
 
-        def gates_with_amnesia(pose_cw, frame):
-            geo, full = orig_gates(pose_cw, frame)
+        def text_amnesia_mask(n_texts):
             cut = amnesia["cutoff"]
+            mask = np.ones(n_texts, bool)
             if cut is not None:
-                old = m.tx_host[: m.n_texts] < cut
-                geo = geo & ~old
-                full = full & ~old
-            return geo, full
+                mask &= ~(m.tx_host[:n_texts] < cut)
+            return mask
 
-        tf._gates = gates_with_amnesia
+        tf.pool_mask_hook = text_amnesia_mask
 
         # excursion structure: peaks at n/8 and 5n/8, revisits start around
         # n/2 and n. Blind each return leg to its own outbound landmarks.

@@ -431,6 +431,71 @@ def fused_text_frame(pose0, scene, rho, kp_packed, kp_sel,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("levels", "n_iters", "huber_scene", "huber_text",
+                     "weight_text", "width", "height", "rounds",
+                     "track_n_iters", "chi2_gate"))
+def fused_frame_chain(pt_ray, pt_rho_pool, pt_host_pose, pt_desc,
+                      pt_desc_alt, pt_valid, guess, kp_packed,
+                      quads, thetas, hposes, live, good_state,
+                      box_uv, box_int, box_valid,
+                      feat_uv, feat_ref, feat_valid,
+                      imgs_levels, img0,
+                      fx, fy, cx, cy, radius, max_dist, weight_scene,
+                      margin, cos_min, zncc_min,
+                      width: int, height: int, rounds: int,
+                      track_n_iters: int, chi2_gate: float, levels: tuple,
+                      n_iters: int, huber_scene: float, huber_text: float,
+                      weight_text: float):
+    """The WHOLE per-frame device pipeline as one chained program: the
+    fused track step (match → optimize → re-associate → re-optimize)
+    feeds the fused text hook (gates → joint scene+text refine → re-gate)
+    entirely on device — the host reads ONE flat packed array per frame
+    instead of two sequential round-trips.
+
+    Output layout (flat f32): [track rows 4*P | hook rows 3*R], where the
+    track rows are fused_track_step's [4, P] and the hook rows are
+    fused_text_frame's [3, R]. The hook's scene observations are the
+    track step's final (ok & inlier) associations, gathered by index from
+    the packed keypoint pool — no host compaction in between."""
+    from .tracking import fused_track_step
+    from ..solver import ba as _ba
+
+    out1 = fused_track_step(
+        pt_ray, pt_rho_pool, pt_host_pose, pt_desc, pt_desc_alt, pt_valid,
+        guess, kp_packed, fx, fy, cx, cy, radius, max_dist, weight_scene,
+        width=width, height=height, rounds=rounds, n_iters=track_n_iters,
+        huber=huber_scene, chi2_gate=chi2_gate)
+    P = out1.shape[1]
+    Pt = pt_rho_pool.shape[0]
+    idx = out1[0].astype(jnp.int32)
+    good = (out1[1] > 0.5) & (out1[2] > 0.5)
+    pose0 = out1[3, :7]
+    scene = _ba.SceneObs(
+        tgt=jnp.zeros(P, jnp.int32),
+        host=jnp.ones(P, jnp.int32),
+        host_frozen_pose=pt_host_pose,
+        host_in_window=jnp.zeros(P, bool),
+        point=jnp.arange(P, dtype=jnp.int32).clip(0, Pt - 1),
+        ray=pt_ray,
+        uv=jnp.zeros((P, 2), jnp.float32),  # gathered in fused_text_frame
+        weight=jnp.full(P, weight_scene, jnp.float32),
+        valid=good,
+    )
+    out2 = fused_text_frame(
+        pose0, scene, pt_rho_pool, kp_packed, idx,
+        quads, thetas, hposes, live, good_state,
+        box_uv, box_int, box_valid,
+        feat_uv, feat_ref, feat_valid,
+        imgs_levels, img0,
+        fx, fy, cx, cy, margin, cos_min, zncc_min,
+        width=width, height=height, levels=levels, n_iters=n_iters,
+        huber_scene=huber_scene, huber_text=huber_text,
+        weight_text=weight_text)
+    return jnp.concatenate([out1.reshape(-1), out2.reshape(-1)])
+
+
+@functools.partial(
     jax.jit, static_argnames=("levels", "n_iters", "huber_theta", "weight_text"))
 def fused_theta_optimize(theta0, poses, tgt_valid, host_pose, quad0,
                          feat_uv, feat_ref, feat_valid_per_kf,
@@ -510,6 +575,71 @@ def fused_theta_optimize(theta0, poses, tgt_valid, host_pose, quad0,
     w = tt["w"][:, None, None]
     H = jnp.einsum("ori,orj->ij", Jl * w, Jl)
     return theta[0], H
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "n_iters", "huber_scene", "huber_text",
+                     "weight_text", "width", "height", "rounds",
+                     "track_n_iters", "chi2_gate"))
+def fused_frame_chain(pt_ray, pt_rho_pool, pt_host_pose, pt_desc,
+                      pt_desc_alt, pt_valid, guess, kp_packed,
+                      quads, thetas, hposes, live, good_state,
+                      box_uv, box_int, box_valid,
+                      feat_uv, feat_ref, feat_valid,
+                      imgs_levels, img0,
+                      fx, fy, cx, cy, radius, max_dist, weight_scene,
+                      margin, cos_min, zncc_min,
+                      width: int, height: int, rounds: int,
+                      track_n_iters: int, chi2_gate: float, levels: tuple,
+                      n_iters: int, huber_scene: float, huber_text: float,
+                      weight_text: float):
+    """The WHOLE per-frame device pipeline as one chained program: the
+    fused track step (match → optimize → re-associate → re-optimize)
+    feeds the fused text hook (gates → joint scene+text refine → re-gate)
+    entirely on device — the host reads ONE flat packed array per frame
+    instead of two sequential round-trips.
+
+    Output layout (flat f32): [track rows 4*P | hook rows 3*R], where the
+    track rows are fused_track_step's [4, P] and the hook rows are
+    fused_text_frame's [3, R]. The hook's scene observations are the
+    track step's final (ok & inlier) associations, gathered by index from
+    the packed keypoint pool — no host compaction in between."""
+    from .tracking import fused_track_step
+    from ..solver import ba as _ba
+
+    out1 = fused_track_step(
+        pt_ray, pt_rho_pool, pt_host_pose, pt_desc, pt_desc_alt, pt_valid,
+        guess, kp_packed, fx, fy, cx, cy, radius, max_dist, weight_scene,
+        width=width, height=height, rounds=rounds, n_iters=track_n_iters,
+        huber=huber_scene, chi2_gate=chi2_gate)
+    P = out1.shape[1]
+    Pt = pt_rho_pool.shape[0]
+    idx = out1[0].astype(jnp.int32)
+    good = (out1[1] > 0.5) & (out1[2] > 0.5)
+    pose0 = out1[3, :7]
+    scene = _ba.SceneObs(
+        tgt=jnp.zeros(P, jnp.int32),
+        host=jnp.ones(P, jnp.int32),
+        host_frozen_pose=pt_host_pose,
+        host_in_window=jnp.zeros(P, bool),
+        point=jnp.arange(P, dtype=jnp.int32).clip(0, Pt - 1),
+        ray=pt_ray,
+        uv=jnp.zeros((P, 2), jnp.float32),  # gathered in fused_text_frame
+        weight=jnp.full(P, weight_scene, jnp.float32),
+        valid=good,
+    )
+    out2 = fused_text_frame(
+        pose0, scene, pt_rho_pool, kp_packed, idx,
+        quads, thetas, hposes, live, good_state,
+        box_uv, box_int, box_valid,
+        feat_uv, feat_ref, feat_valid,
+        imgs_levels, img0,
+        fx, fy, cx, cy, margin, cos_min, zncc_min,
+        width=width, height=height, levels=levels, n_iters=n_iters,
+        huber_scene=huber_scene, huber_text=huber_text,
+        weight_text=weight_text)
+    return jnp.concatenate([out1.reshape(-1), out2.reshape(-1)])
 
 
 @functools.partial(
@@ -654,6 +784,10 @@ class TextFrontend:
         # text residual rows in the most recent pose refinement — feeds the
         # tracker's sparse-text chi2 relaxation (src/optimizer.cc:1238-1257)
         self.last_text_rows = 0
+        # optional [n_texts]-mask filter on the live-object set seen by the
+        # gates / the fused frame hook (tests inject drift/amnesia here —
+        # the supported injection point now that gating runs in-chain)
+        self.pool_mask_hook = None
         # per-frame KLT track accumulator for NEW (unmapped) text boxes:
         # seeded at each KF for its unmapped detections
         # (InitialNewTextFeatForTrack, src/tracking.cc:1736-1750), advanced
@@ -870,6 +1004,9 @@ class TextFrontend:
         st = self._klt
         if st is None or frame.pyr_shapes is None:
             return
+        if st.get("last_frame_id") == frame.frame_id:
+            return  # already advanced for this frame (chain fallback path)
+        st["last_frame_id"] = frame.frame_id
         imgs_j, grads_j = self._unpack_packed_pyr(
             frame.pyr_dev if frame.pyr_dev is not None else frame.pyr_data,
             frame.pyr_shapes)
@@ -1025,6 +1162,8 @@ class TextFrontend:
         host = m.tx_host[: m.n_texts].clip(0)
         hposes[: m.n_texts] = m.kf_pose[host]
         live[: m.n_texts] = m.tx_valid[: m.n_texts] & (m.tx_state[: m.n_texts] != TEXT_BAD)
+        if self.pool_mask_hook is not None:
+            live[: m.n_texts] &= self.pool_mask_hook(m.n_texts)
         if frame is not None and frame.pyr_shapes is not None:
             h, w = int(frame.pyr_shapes[0][0]), int(frame.pyr_shapes[0][1])
             fdev = (frame.pyr_dev if frame.pyr_dev is not None
@@ -1399,6 +1538,22 @@ class TextFrontend:
             self._update_immature(frame, geo)
         return pose
 
+    def apply_frame_hook(self, hook, imm_handle) -> np.ndarray:
+        """Host half of the chained per-frame text hook (see
+        Tracker._chain_frame): observation counters, text-row count for the
+        sparse-text chi2 relaxation, and the IMMATURE state machine.
+        Returns the text-refined pose."""
+        m = self.map
+        from ..utils.profiling import phase
+
+        pose2, geo, full, text_rows = hook
+        self.last_text_rows = text_rows
+        m.tx_good_obs[: len(geo)][geo & full] += 1
+        m.tx_bad_obs[: len(geo)][geo & ~full] += 1
+        with phase("track.immature"):
+            self.apply_immature(imm_handle, geo)
+        return pose2
+
     def _fused_frame_hook(self, frame, pose, good_pids, good_kps):
         """Assemble inputs for fused_text_frame and dispatch it.
 
@@ -1430,6 +1585,32 @@ class TextFrontend:
         Pt = self.cfg.map.max_points  # clamped: see Tracker._pose_optimize
         rho = jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt))
 
+        hi = self.hook_inputs(frame)
+        from .frame import packed_kp_dev
+
+        out = fused_text_frame(
+            jnp.asarray(pose.astype(np.float32)), scene, rho,
+            packed_kp_dev(frame), kp_sel,
+            *hi["args"],
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            self.cfg.text.in_image_margin,
+            self.cfg.text.cos_orientation_min,
+            self.cfg.text.zncc_min,
+            width=cam.width, height=cam.height,
+            levels=tuple(self.levels), n_iters=scfg.iters_per_level,
+            huber_scene=scfg.huber_scene_pose, huber_text=scfg.huber_text,
+            weight_text=scfg.weight_text,
+        )
+        return out  # DEVICE [3, R] handle; caller reads back once
+
+    def hook_inputs(self, frame) -> dict:
+        """The padded text-pool / feature-pool / box / level-image inputs of
+        fused_text_frame (everything after the kp_sel argument, before the
+        intrinsics), assembled once per frame. Returns {"args": tuple,
+        "R": packed-row length}."""
+        m = self.map
+        from .tracking import solver_tier
+
         # padded text pool (same layout as _gates); high TPU floor: every
         # pool-tier rung recompiles the fused gates+refine program
         Tt = solver_tier(max(m.n_texts, 1), 8, 64)
@@ -1446,6 +1627,8 @@ class TextFrontend:
         hposes[: m.n_texts] = m.kf_pose[hostk]
         live[: m.n_texts] = (m.tx_valid[: m.n_texts]
                              & (m.tx_state[: m.n_texts] != TEXT_BAD))
+        if self.pool_mask_hook is not None:
+            live[: m.n_texts] &= self.pool_mask_hook(m.n_texts)
         good_state[: m.n_texts] = m.tx_state[: m.n_texts] == TEXT_GOOD
 
         L = self.n_levels
@@ -1474,27 +1657,15 @@ class TextFrontend:
         box_uv[:nbu] = self.tx_box_uv[:nbu]
         box_int[:nbu] = self.tx_box_int[:nbu]
         box_valid[:nbu] = self.tx_box_valid[:nbu]
-
-        from .frame import packed_kp_dev
-
-        out = fused_text_frame(
-            jnp.asarray(pose.astype(np.float32)), scene, rho,
-            packed_kp_dev(frame), kp_sel,
+        args = (
             jnp.asarray(quads), jnp.asarray(thetas), jnp.asarray(hposes),
             jnp.asarray(live), jnp.asarray(good_state),
             jnp.asarray(box_uv), jnp.asarray(box_int), jnp.asarray(box_valid),
-            jnp.asarray(feat_uv), jnp.asarray(feat_ref), jnp.asarray(feat_valid),
+            jnp.asarray(feat_uv), jnp.asarray(feat_ref),
+            jnp.asarray(feat_valid),
             imgs_levels, img0,
-            cam.fx, cam.fy, cam.cx, cam.cy,
-            self.cfg.text.in_image_margin,
-            self.cfg.text.cos_orientation_min,
-            self.cfg.text.zncc_min,
-            width=cam.width, height=cam.height,
-            levels=tuple(self.levels), n_iters=scfg.iters_per_level,
-            huber_scene=scfg.huber_scene_pose, huber_text=scfg.huber_text,
-            weight_text=scfg.weight_text,
         )
-        return out  # DEVICE [3, R] handle; caller reads back once
+        return {"args": args, "R": max(Tt, 16)}
 
     def on_keyframe(self, frame, kid: int):
         m = self.map
@@ -1588,21 +1759,26 @@ class TextFrontend:
         handle = self.dispatch_immature(frame)
         self.apply_immature(handle, geo)
 
-    def dispatch_immature(self, frame, geo_dev=None):
+    def dispatch_immature(self, frame, geo_dev=None, pose_dev=None):
         """Build + dispatch the batched IMMATURE theta solve for ALL live
         IMMATURE objects, optionally gated in-device by geo_dev (the geo
         row of fused_text_frame's device output) so it can launch BEFORE
-        the gate readback and overlap the two round-trips. Returns an
-        opaque handle for apply_immature, or None."""
+        the gate readback and overlap the two round-trips. pose_dev is the
+        current frame's DEVICE pose (the chained track step's output row)
+        used as the current-frame target when frame.pose has not reached
+        the host yet. Returns an opaque handle for apply_immature, or
+        None."""
         m = self.map
-        if frame is None or frame.pyr_shapes is None or frame.pose is None:
+        if (frame is None or frame.pyr_shapes is None
+                or (frame.pose is None and pose_dev is None)):
             return None
         imm = [tid for tid in range(m.n_texts)
                if m.tx_valid[tid] and m.tx_state[tid] == TEXT_IMMATURE]
         if not imm:
             return None
         theta_old = m.tx_theta[np.asarray(imm, np.int64)].copy()
-        packed_dev = self._theta_optimize_batch(imm, frame, geo_dev=geo_dev)
+        packed_dev = self._theta_optimize_batch(
+            imm, frame, geo_dev=geo_dev, pose_dev=pose_dev)
         return (imm, theta_old, packed_dev)
 
     def apply_immature(self, handle, geo):
@@ -1647,7 +1823,7 @@ class TextFrontend:
                     and m.tx_num_obvs[tid] >= cfg.text.min_obs_promote):
                 m.tx_state[tid] = TEXT_GOOD
 
-    def _theta_optimize_batch(self, imm, frame, geo_dev=None):
+    def _theta_optimize_batch(self, imm, frame, geo_dev=None, pose_dev=None):
         """ONE batched program for all IMMATURE objects' theta refinement
         (fused_theta_optimize_all); per-object dispatches multiplied
         per-frame cost by the object count (VERDICT r3 weak #5). Returns a
@@ -1682,7 +1858,14 @@ class TextFrontend:
         poses = np.zeros((M, 7), np.float32)
         poses[:, 0] = 1.0
         for k, i in img_of.items():
-            poses[i] = frame.pose if k == -1 else m.kf_pose[k]
+            if k != -1:
+                poses[i] = m.kf_pose[k]
+            elif frame.pose is not None:
+                poses[i] = frame.pose
+        poses_dev = jnp.asarray(poses)
+        if pose_dev is not None:
+            # current-frame pose straight from the chained track output
+            poses_dev = poses_dev.at[frame_idx].set(pose_dev)
         tgt_img = np.zeros((N, Kt), np.int32)
         tgt_valid = np.zeros((N, Kt), bool)
         host_poses = np.zeros((N, 7), np.float32)
@@ -1740,7 +1923,7 @@ class TextFrontend:
             obj_valid_dev = obj_valid_dev & geo_dev[jnp.asarray(tid_arr)]
         th_j, H_j, cost_j = fused_theta_optimize_all(
             jnp.asarray(theta0), jnp.asarray(host_poses), jnp.asarray(quads0),
-            jnp.asarray(poses), jnp.asarray(tgt_img), jnp.asarray(tgt_valid),
+            poses_dev, jnp.asarray(tgt_img), jnp.asarray(tgt_valid),
             obj_valid_dev,
             jnp.asarray(feat_uv), jnp.asarray(feat_ref), jnp.asarray(fvk),
             tuple(imgs_levels),

@@ -439,16 +439,31 @@ class Tracker:
         else:
             guess = self.last_pose.copy()
 
-        # the whole match → optimize → re-associate → re-optimize chain runs
-        # as ONE device program with ONE packed readback (fused_track_step);
-        # the host only handles the rare lost-motion-model fallback
-        with phase("track.step"):
-            pose, kp_idx, ok, inlier, n_matches = self._fused_track(frame, guess)
+        # the whole per-frame device pipeline runs as ONE chained program
+        # (track step + text hook) with ONE packed readback when the text
+        # frontend is active; otherwise just the fused track step. The host
+        # only handles the rare lost-motion-model fallback
+        chain = (self.text_frontend is not None
+                 and frame.pyr_shapes is not None)
+        hook = imm_handle = None
+        if chain:
+            track, hook, imm_handle = self._chain_frame(frame, guess)
+            pose, kp_idx, ok, inlier, n_matches = track
+        else:
+            with phase("track.step"):
+                pose, kp_idx, ok, inlier, n_matches = self._fused_track(frame, guess)
         if n_matches < 10:
-            # fallback: re-match without motion model, wider radius
+            # fallback: re-match without motion model, wider radius (the
+            # first chain's text side never reaches the host state; the
+            # KLT advance is per-frame idempotent)
             guess = self.last_pose.copy()
-            pose, kp_idx, ok, inlier, n_matches = self._fused_track(
-                frame, guess, radius_scale=2.0)
+            if chain:
+                track, hook, imm_handle = self._chain_frame(
+                    frame, guess, radius_scale=2.0)
+                pose, kp_idx, ok, inlier, n_matches = track
+            else:
+                pose, kp_idx, ok, inlier, n_matches = self._fused_track(
+                    frame, guess, radius_scale=2.0)
         if n_matches < 10:
             self.state = LOST
             frame.pose = guess
@@ -471,7 +486,10 @@ class Tracker:
         m.pt_bad_obs[bad_pids] += 1
 
         # text pipeline per-frame hooks (pose refinement uses text residuals)
-        if self.text_frontend is not None:
+        if chain:
+            pose = self.text_frontend.apply_frame_hook(hook, imm_handle)
+            frame.pose = pose
+        elif self.text_frontend is not None:
             pose = self.text_frontend.on_frame_tracked(frame, good_pids, good_kps)
             frame.pose = pose
 
@@ -552,10 +570,10 @@ class Tracker:
             pt_valid = self.pt_candidate_hook(pt_valid)
         return pt_valid
 
-    def _fused_track(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
-        """Run fused_track_step and unpack its single readback.
-
-        Returns (pose [7], kp_idx [P], ok [P], inlier [P], n_pass1)."""
+    def _track_step_args(self, frame: Frame, guess: np.ndarray,
+                         radius_scale: float = 1.0):
+        """Device inputs of fused_track_step: (array args, scalar args,
+        static kwargs, P)."""
         m = self.map
         cam = self.cfg.camera
         scfg = self.cfg.solver
@@ -565,7 +583,7 @@ class Tracker:
         # rho pool sized >= the candidate tier: reduced-cap configs (long-
         # regime tests) can have max_points below the 4096 candidate floor
         Pt = max(self.cfg.map.max_points, P)
-        out = fused_track_step(
+        arrays = (
             jnp.asarray(_pad(m.pt_ray[: m.n_points], P)),
             jnp.asarray(_pad(m.pt_rho[: m.n_points], Pt)),
             jnp.asarray(m.kf_pose[host]),
@@ -574,14 +592,25 @@ class Tracker:
             jnp.asarray(pt_valid),
             jnp.asarray(guess.astype(np.float32)),
             packed_kp_dev(frame),
+        )
+        scalars = (
             cam.fx, cam.fy, cam.cx, cam.cy,
             self.cfg.match.search_radius_3d * radius_scale,
             self.cfg.match.th_high,
             scfg.weight_scene,
-            width=cam.width, height=cam.height,
-            rounds=2, n_iters=scfg.iters_per_level,
-            huber=scfg.huber_scene_pose, chi2_gate=self._pose_chi2_gate(),
         )
+        kw = dict(width=cam.width, height=cam.height,
+                  rounds=2, n_iters=scfg.iters_per_level,
+                  huber=scfg.huber_scene_pose,
+                  chi2_gate=self._pose_chi2_gate())
+        return arrays, scalars, kw, P
+
+    def _fused_track(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
+        """Run fused_track_step and unpack its single readback.
+
+        Returns (pose [7], kp_idx [P], ok [P], inlier [P], n_pass1)."""
+        arrays, scalars, kw, P = self._track_step_args(frame, guess, radius_scale)
+        out = fused_track_step(*arrays, *scalars, **kw)
         out = np.asarray(out)  # the ONE device->host transfer of the chain
         kp_idx = out[0].astype(np.int64)
         ok = out[1] > 0.5
@@ -589,6 +618,57 @@ class Tracker:
         pose = out[3, :7].astype(np.float32)
         n1 = int(out[3, 7])
         return pose, kp_idx, ok, inlier, n1
+
+    def _chain_frame(self, frame: Frame, guess: np.ndarray,
+                     radius_scale: float = 1.0):
+        """Dispatch the whole per-frame device pipeline (track step + text
+        hook) as ONE chained program, overlap the IMMATURE/KLT dispatches
+        against it, and unpack the single readback.
+
+        Returns (track tuple, hook tuple, imm_handle): track = (pose1,
+        kp_idx, ok, inlier, n1); hook = (pose2, geo, full, text_rows)."""
+        from .text import fused_frame_chain
+        from ..utils.profiling import phase as _ph
+
+        tf = self.text_frontend
+        m = self.map
+        scfg = self.cfg.solver
+        arrays, scalars, kw, P = self._track_step_args(frame, guess, radius_scale)
+        hi = tf.hook_inputs(frame)
+        with _ph("track.step"):
+            out_flat = fused_frame_chain(
+                *arrays, *hi["args"], *scalars,
+                self.cfg.text.in_image_margin,
+                self.cfg.text.cos_orientation_min,
+                self.cfg.text.zncc_min,
+                width=kw["width"], height=kw["height"], rounds=kw["rounds"],
+                track_n_iters=kw["n_iters"], chi2_gate=kw["chi2_gate"],
+                levels=tuple(tf.levels), n_iters=scfg.iters_per_level,
+                huber_scene=scfg.huber_scene_pose,
+                huber_text=scfg.huber_text,
+                weight_text=scfg.weight_text,
+            )
+        R = hi["R"]
+        with _ph("track.immature"):
+            imm_handle = tf.dispatch_immature(
+                frame, geo_dev=out_flat[4 * P: 4 * P + R] > 0.5,
+                pose_dev=out_flat[3 * P: 3 * P + 7])
+        with _ph("track.klt"):
+            tf.track_new_text(frame)
+        with _ph("track.step"):
+            out = np.asarray(out_flat)  # THE per-frame readback
+        t = out[: 4 * P].reshape(4, P)
+        kp_idx = t[0].astype(np.int64)
+        ok = t[1] > 0.5
+        inlier = t[2] > 0.5
+        pose1 = t[3, :7].astype(np.float32)
+        n1 = int(t[3, 7])
+        h = out[4 * P:].reshape(3, R)
+        geo = h[0, : m.n_texts] > 0.5
+        full = h[1, : m.n_texts] > 0.5
+        pose2 = h[2, :7].astype(np.float32)
+        text_rows = int(h[2, 7])
+        return (pose1, kp_idx, ok, inlier, n1), (pose2, geo, full, text_rows), imm_handle
 
     def _match_map(self, frame: Frame, guess: np.ndarray, radius_scale: float = 1.0):
         m = self.map
