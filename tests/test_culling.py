@@ -136,7 +136,7 @@ def _frontend_with_immature(monkeypatch, theta_result):
                      state=TEXT_IMMATURE)
     theta, ok = theta_result
 
-    def batch_stub(imm, frame, geo_dev=None):
+    def batch_stub(imm, frame, geo_dev=None, pose_dev=None):
         # new contract: DEVICE [n, 12] packed (theta 3 | H 9); solver
         # failure is encoded as a non-finite/degenerate theta row
         n = len(imm)
@@ -186,7 +186,7 @@ class TestImmatureLifecycle:
                   np.array([0.8, 0, -1.0], np.float32)]
         calls = {"n": 0}
 
-        def flip(imm, frame, geo_dev=None):
+        def flip(imm, frame, geo_dev=None, pose_dev=None):
             calls["n"] += 1
             th = thetas[calls["n"] % 2]
             n = len(imm)
