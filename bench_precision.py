@@ -41,9 +41,8 @@ MODES = {
 def child(mode: str, arm: str, seed: int, n_frames: int) -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_HERE, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    from textslam_tpu.utils.cache import setup_compile_cache
+    setup_compile_cache(_HERE)  # machine-keyed (VERDICT r4 weak #7)
 
     sys.path.insert(0, os.path.join(_HERE, "tests"))
     import dataclasses

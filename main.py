@@ -29,7 +29,9 @@ def main():
                     help="resume from <output_dir>/checkpoint.npz if present")
     args = ap.parse_args()
 
-    from textslam_tpu.config import load_yaml
+    import dataclasses
+
+    from textslam_tpu.config import MapConfig, load_yaml
     from textslam_tpu.io.dataset import Dataset
     from textslam_tpu.system import TextSLAM
 
@@ -39,6 +41,14 @@ def main():
     ckpt_path = os.path.join(out_dir, "checkpoint.npz")
 
     ds = Dataset(cfg)
+    # pool caps from the image-list length (the reference's param_M rule,
+    # src/system.cc:23-29) — saturation then needs a keyframe cadence
+    # outside the reference's own design envelope, and is graceful anyway
+    cfg = dataclasses.replace(
+        cfg, map=MapConfig.derive(len(ds), cfg.camera.fps, cfg.map))
+    print(f"[cfg] pools from {len(ds)} images @ {cfg.camera.fps:.0f} fps: "
+          f"kfs={cfg.map.max_keyframes} pts={cfg.map.max_points} "
+          f"texts={cfg.map.max_texts}")
     slam = TextSLAM(cfg, output_dir=out_dir)
     start = 0
     if args.resume and os.path.exists(ckpt_path):

@@ -97,6 +97,83 @@ class TestTextSLAM:
         assert m.M2[:K, :K].sum() > 0
 
 
+class TestDecomposedLandmarkPass:
+    """The loop-time OptimizeLandmarker decomposition (closing.py global
+    refinement above SolverConfig.global_decompose_kfs): rho-only solve via
+    the no-free-poses fast path + chunked per-object theta pass must agree
+    with the joint single-problem path — all poses are fixed, so the
+    blocks are mathematically independent (VERDICT r4 next #1)."""
+
+    def _snapshot(self, m):
+        return {
+            "tx_theta": m.tx_theta.copy(),
+            "pt_rho": m.pt_rho.copy(),
+            "pt_bad": m.pt_bad.copy(),
+            "pt_bad_obs": m.pt_bad_obs.copy(),
+            "tx_bad_obs": m.tx_bad_obs.copy(),
+            "obs_good": [kf.obs_good.copy() for kf in m.keyframes],
+            "tx_obs_good": dict(m.tx_obs_good),
+            "tx_feat_good": {k: v.copy() for k, v in m.tx_feat_good.items()},
+        }
+
+    def _restore(self, m, s):
+        m.tx_theta[:] = s["tx_theta"]
+        m.pt_rho[:] = s["pt_rho"]
+        m.pt_bad[:] = s["pt_bad"]
+        m.pt_bad_obs[:] = s["pt_bad_obs"]
+        m.tx_bad_obs[:] = s["tx_bad_obs"]
+        for kf, og in zip(m.keyframes, s["obs_good"]):
+            kf.obs_good[:] = og
+        m.tx_obs_good = dict(s["tx_obs_good"])
+        m.tx_feat_good = {k: v.copy() for k, v in s["tx_feat_good"].items()}
+
+    def test_matches_joint_path(self, result):
+        slam, gt, world = result
+        m = slam.map
+        tf = slam.tracker.tracker_text_frontend()
+        all_kids = list(range(len(m.keyframes)))
+        good = [t for t in range(m.n_texts)
+                if m.tx_valid[t] and m.tx_state[t] == TEXT_GOOD
+                and len(m.kfs_observing_text(t)) >= 2]
+        assert good, "fixture produced no multi-observed GOOD text"
+        rng = np.random.default_rng(7)
+        base = self._snapshot(m)
+        pert = {t: (m.tx_theta[t]
+                    * (1.0 + 0.02 * rng.standard_normal(3))).astype(np.float32)
+                for t in good}
+
+        # joint single-problem path (small-K default)
+        for t, v in pert.items():
+            m.tx_theta[t] = v
+        slam.tracker._local_ba(window_kids=all_kids, fix=all_kids,
+                               landmark_only=True)
+        th_joint = {t: m.tx_theta[t].copy() for t in good}
+        rho_joint = m.pt_rho.copy()
+
+        # decomposed path (exactly what closing.py runs past the threshold)
+        self._restore(m, base)
+        for t, v in pert.items():
+            m.tx_theta[t] = v
+        slam.tracker._local_ba(window_kids=all_kids, fix=all_kids,
+                               landmark_only=True, scene_only=True)
+        n_upd = tf.landmark_theta_pass()
+        assert n_upd >= 1
+
+        live = m.pt_valid[: m.n_points] & ~m.pt_bad[: m.n_points]
+        dr = np.abs(m.pt_rho[: m.n_points][live]
+                    - rho_joint[: m.n_points][live]) / (
+            np.abs(rho_joint[: m.n_points][live]) + 1e-9)
+        assert np.median(dr) < 0.02, f"rho median rel diff {np.median(dr)}"
+        for t in good:
+            a, b = m.tx_theta[t], th_joint[t]
+            cos = float(np.dot(a, b)
+                        / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+            assert cos > 0.999, f"tid {t} theta direction diverged: cos {cos}"
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+            assert rel < 0.05, f"tid {t} theta magnitude diverged: {rel}"
+        self._restore(m, base)
+
+
 class TestJointInitBA:
     def test_joint_init_ba_pipeline(self):
         """The reference-faithful JOINT init BA (pose+rho+theta in one

@@ -387,3 +387,105 @@ class TestLongStrings:
         want = np.array([[_lev_oracle(q, t) for t in words_t] for q in words_q])
         np.testing.assert_array_equal(d_dev, want)
         np.testing.assert_array_equal(d_nat, want)
+
+
+class TestDetectPoolScale:
+    """detect() at pool scale (VERDICT r4 next #8): max_texts live strings x
+    hundreds of KFs, vote correctness pinned against an independent python
+    oracle, with a wall-clock guard on the batched scoring path."""
+
+    def test_votes_correct_at_512_texts_400_kfs(self):
+        import time
+
+        cfg = make_cfg()
+        K = 400
+        m = make_map(cfg, K)
+        lc = LoopCloser(cfg, m)
+        kid = K - 1
+        rng = np.random.default_rng(11)
+        alpha = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
+
+        def rand_string():
+            n = int(rng.integers(5, 19))
+            return "".join(rng.choice(alpha, n))
+
+        # fill the text pool to ~its cap with strings hosted across old KFs;
+        # a slice of them duplicates the current KF's strings so real
+        # candidates exist
+        cur_strings = [rand_string() for _ in range(8)]
+        n_old = cfg.map.max_texts - len(cur_strings)
+        q = np.zeros((4, 2), np.float32)
+        for i in range(n_old):
+            host = int(rng.integers(0, K - 40))
+            if i < 24:
+                s = cur_strings[i % len(cur_strings)]  # exact duplicates
+            elif i < 40:
+                base = cur_strings[i % len(cur_strings)]
+                s = base[:-1] + ("X" if base[-1] != "X" else "Y")  # near
+            else:
+                s = rand_string()
+            tid = m.add_text(host, np.zeros(3, np.float32), q, s, 0.9, 0,
+                             state=TEXT_GOOD)
+            assert tid >= 0
+            m.add_text_observation(host, tid, 0)
+            # some objects observed by a second old KF (more vote mass)
+            if i % 3 == 0 and host + 1 < K - 40:
+                m.add_text_observation(host + 1, tid, 1)
+        cur_tids = []
+        for i, s in enumerate(cur_strings):
+            tid = m.add_text(kid, np.zeros(3, np.float32), q, s, 0.9, 0,
+                             state=TEXT_GOOD)
+            m.add_text_observation(kid, tid, i)
+            cur_tids.append(tid)
+        assert m.n_texts == cfg.map.max_texts
+
+        t0 = time.perf_counter()
+        out = lc.detect(kid, min_words=1, connects=frozenset())
+        dt = time.perf_counter() - t0
+        # second call = steady path (first may compile the Levenshtein tier)
+        t0 = time.perf_counter()
+        out2 = lc.detect(kid, min_words=1, connects=frozenset())
+        dt2 = time.perf_counter() - t0
+        assert out2 == out
+        print(f"[pool-scale detect] {m.n_texts} texts x {K} KFs: "
+              f"first {dt*1e3:.0f} ms, steady {dt2*1e3:.0f} ms")
+        assert dt2 < 10.0, f"steady detect took {dt2:.1f}s at pool scale"
+
+        # ---- independent oracle (python Levenshtein + explicit voting) ----
+        all_tids = [t for t in range(m.n_texts)
+                    if m.tx_valid[t] and m.tx_state[t] != TEXT_GOOD + 2]
+        scores = np.zeros((len(cur_tids), len(all_tids)))
+        for qi, qt in enumerate(cur_tids):
+            for ti, tt in enumerate(all_tids):
+                if tt == qt:
+                    scores[qi, ti] = -1.0
+                    continue
+                a, b = m.tx_string[qt], m.tx_string[tt]
+                ml = max(len(a), len(b))
+                scores[qi, ti] = (ml - _lev_oracle(a, b)) / ml
+        best = scores.max(axis=1)
+        keep = np.where(best >= 1.0, 1.0,
+                        np.maximum(best * (2.0 / 3.0),
+                                   cfg.loop_score_thresh))
+        keep = np.where(best < cfg.loop.min_str_score, np.inf, keep)
+        match = scores >= keep[:, None]
+        eligible = np.ones(K, bool)
+        eligible[kid] = False
+        eligible &= ~((m.M1[kid, :K] > 0) | (m.M2[kid, :K] > 0)
+                      | (m.M3[kid, :K] > 0))
+        inc = m.tx_inc[np.asarray(all_tids)[:, None],
+                       np.arange(K)[None, :]] & eligible[None, :]
+        votes = match.sum(axis=0).astype(np.int64) @ inc
+        distinct = (match.any(axis=0)[:, None] & inc).sum(axis=0)
+        order = np.argsort(-votes, kind="stable")
+        expected = []
+        for k in order:
+            if votes[k] <= 1:
+                break
+            if distinct[k] <= 1:
+                continue
+            if len(expected) >= cfg.loop.top_candidates:
+                break
+            expected.append(int(k))
+        assert out == expected, f"detect {out} != oracle {expected}"
+        assert len(expected) >= 1, "fixture produced no candidates"

@@ -178,3 +178,58 @@ class TestSemanticFusion:
         fe._fuse_semantic(tid, self.Det("#", 0.99), kid=0)
         assert m.tx_string[tid] == ""
         assert np.isinf(m.tx_sem_score[tid])
+
+
+class TestPoolSaturation:
+    """Graceful saturation (VERDICT r4 next #2): pools log + count drops
+    instead of raising; MapConfig.derive sizes pools from the dataset."""
+
+    def test_derive_param_m_rule(self):
+        from textslam_tpu.config import MapConfig
+
+        # reference: param_M = ceil(numImages / ceil(fps/3)) (src/system.cc:23-29)
+        m = MapConfig.derive(5000, 30.0)
+        assert m.max_keyframes == int(500 * 1.25)
+        assert m.max_points >= 128 * m.max_keyframes
+        # short datasets keep a sane floor
+        m2 = MapConfig.derive(40, 10.0)
+        assert m2.max_keyframes == 64
+
+    def test_point_pool_saturates_gracefully(self, capsys):
+        import dataclasses
+        from textslam_tpu.config import MapConfig as MC
+
+        m = make_map(n_kf=1)
+        m.cfg = dataclasses.replace(m.cfg, map=dataclasses.replace(m.cfg.map, max_points=2))
+        d = np.zeros(8, np.uint32)
+        ray = np.array([0, 0, 1], np.float32)
+        assert m.add_point(0, ray, 1.0, d) == 0
+        assert m.add_point(0, ray, 1.0, d) == 1
+        assert m.add_point(0, ray, 1.0, d) == -1
+        assert m.add_point(0, ray, 1.0, d) == -1
+        assert m.saturation_drops["points"] == 2
+        out = capsys.readouterr().out
+        assert out.count("points pool saturated") == 1  # logged ONCE
+
+    def test_keyframe_and_text_pools_saturate(self):
+        import dataclasses
+
+        m = make_map(n_kf=2)
+        m.cfg = dataclasses.replace(m.cfg, map=dataclasses.replace(
+            m.cfg.map, max_keyframes=2, max_texts=1))
+        kf = m.keyframes[0]
+        kf2 = Keyframe(
+            kid=-1, frame_id=99, timestamp=9.0,
+            kp_uv=kf.kp_uv.copy(), kp_level=kf.kp_level.copy(),
+            kp_angle=kf.kp_angle.copy(), kp_desc=kf.kp_desc.copy(),
+            kp_valid=kf.kp_valid.copy(), kp_point=kf.kp_point.copy(),
+            obs_good=kf.obs_good.copy(),
+        )
+        assert m.add_keyframe(kf2, np.array([1, 0, 0, 0, 0, 0, 0], np.float32)) == -1
+        assert len(m.keyframes) == 2  # nothing appended
+        th = np.array([0, 0, -1], np.float32)
+        q = np.zeros((4, 2), np.float32)
+        assert m.add_text(0, th, q, "a", 0.9, 0) == 0
+        assert m.add_text(0, th, q, "b", 0.9, 0) == -1
+        assert m.saturation_drops["keyframes"] == 1
+        assert m.saturation_drops["texts"] == 1

@@ -378,6 +378,8 @@ class Tracker:
                 continue
             ray = P1[i] / z
             pid = m.add_point(kid1, ray.astype(np.float32), 1.0 / z, f1.kp_desc[i])
+            if pid < 0:
+                continue  # pool saturated (logged + counted by the map)
             m.add_observation(kid1, int(i), pid)
             m.add_observation(kid2, int(idx[i]), pid)
         m.update_covis_on_obs(kid2, m.keyframes[kid2].kp_point)
@@ -758,6 +760,12 @@ class Tracker:
         cam = self.cfg.camera
         kf = self._make_keyframe(frame)
         kid = m.add_keyframe(kf, frame.pose)
+        if kid < 0:
+            # keyframe pool saturated (logged + counted by the map):
+            # tracking continues against the existing map; bump the KF
+            # anchor so the c1/c3 cadence doesn't retry every frame
+            self.last_kf_frame_id = frame.frame_id
+            return
         for pid, ki in zip(tracked_pids, tracked_kps):
             m.add_observation(kid, int(ki), int(pid))
         m.update_covis_on_obs(kid, tracked_pids)
@@ -825,10 +833,12 @@ class Tracker:
         new_pids = []
         for i in np.nonzero(good)[0]:
             z = P_host[i, 2]
-            if z <= 0.05 or m.n_points >= self.cfg.map.max_points:
+            if z <= 0.05:
                 continue
             ray = P_host[i] / z
             pid = m.add_point(prev.kid, ray.astype(np.float32), 1.0 / z, prev.kp_desc[i])
+            if pid < 0:
+                continue  # pool saturated (logged + counted by the map)
             m.add_observation(prev.kid, int(i), pid)
             m.add_observation(cur.kid, int(idx[i]), pid)
             new_pids.append(pid)
@@ -836,7 +846,8 @@ class Tracker:
             m.update_covis_on_obs(cur.kid, np.asarray(new_pids))
 
     def _solve(self, prob: ba.BAProblem, n_iters: int, huber_scene: float,
-               huber_text: float = 3.0, text_pair_feat: int = 0) -> ba.LMState:
+               huber_text: float = 3.0, text_pair_feat: int = 0,
+               no_free_poses: bool = False) -> ba.LMState:
         """Dispatch a windowed/global BA solve: single-device solve_ba, or the
         sharded multi-iteration LM loop (parallel.ba_sharded.solve_ba_sharded,
         identical semantics) when a device mesh is configured. Both consume
@@ -852,7 +863,8 @@ class Tracker:
             from ..parallel import ba_sharded
 
             return ba_sharded.solve_ba_sharded(prob, self.mesh, **kw)
-        return ba.solve_ba(prob, text_pair_feat=text_pair_feat, **kw)
+        return ba.solve_ba(prob, text_pair_feat=text_pair_feat,
+                           no_free_poses=no_free_poses, **kw)
 
     def _local_ba(self, window_kids, fix, init_ba: bool = False,
                   scene_only: bool = False, landmark_only: bool = False):
@@ -944,6 +956,11 @@ class Tracker:
         )
         pose_free = np.zeros(K, bool)
         pose_free[: len(window_kids)] = [k not in fix for k in window_kids]
+        # all-poses-fixed problems (OptimizeLandmarker) take the static
+        # no-free-poses solver path: the camera assembly / Schur / Cholesky
+        # are skipped entirely (bit-equivalent — delta_c is identically 0),
+        # which removes the O(obs * K^2) wall at loop-time global scale
+        no_free = not pose_free.any()
 
         # text residual batches (joint point+text BA, src/optimizer.cc PyrBA).
         # The init BA stays scene-only: the reference's PyrIniBA adds joint
@@ -978,7 +995,8 @@ class Tracker:
         theta_dev = None
         if text_part is None:
             with phase("ba.solve_scene"):
-                st = self._solve(prob, n_iters=n_it, huber_scene=huber)
+                st = self._solve(prob, n_iters=n_it, huber_scene=huber,
+                                 no_free_poses=no_free)
         else:
             pairs, tids, tid_to_lm = text_part
             Tn = pad_tier(len(tids), minimum=64)
@@ -1002,7 +1020,8 @@ class Tracker:
                     imgs_p, shape = tf.gather_level_images(
                         window_kids, level, K_pad=K)
                 if imgs_p is None:
-                    st = self._solve(cur, n_iters=n_it, huber_scene=huber)
+                    st = self._solve(cur, n_iters=n_it, huber_scene=huber,
+                                     no_free_poses=no_free)
                     break
                 with phase("ba.build_text_obs"):
                   # the DEVICE pose block goes straight in — build_text_obs
@@ -1033,7 +1052,8 @@ class Tracker:
                         # thetaText rows use Huber 2.0 in PyrLandmarkers
                         # (src/optimizer.cc:1966) vs 3.0 in PyrBA (:1504)
                         huber_text=scfg.huber_theta if landmark_only else scfg.huber_text,
-                        text_pair_feat=self.cfg.text.max_features_per_level)
+                        text_pair_feat=self.cfg.text.max_features_per_level,
+                        no_free_poses=no_free)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
                 if not landmark_only or scfg.text_outlier_landmark:
                     # the per-level gate READBACK is deferred: within one

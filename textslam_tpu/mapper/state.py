@@ -147,6 +147,10 @@ class SlamMap:
         self._pyr_lru: Dict[int, object] = {}
         self._pyr_lru_cap = 4
 
+        # graceful-saturation drop counters per pool (see _saturate)
+        self.saturation_drops: Dict[str, int] = {
+            "keyframes": 0, "points": 0, "texts": 0}
+
         # covisibility matrices (src/map.h:81-85)
         K = m.max_keyframes
         self.M1 = np.zeros((K, K), np.int32)
@@ -181,12 +185,31 @@ class SlamMap:
         np.fill_diagonal(M, 0)
         return M
 
+    # ---------------- pool saturation ----------------
+
+    def _saturate(self, pool: str) -> int:
+        """Graceful pool saturation: count the drop, log the FIRST one per
+        pool loudly (SURVEY 'no silent caps'), return the -1 sentinel. The
+        reference cannot exhaust its pools (sized from the image-list
+        length, src/system.cc:23-29) — with MapConfig.derive in the CLI the
+        same holds here, so saturation signals a cadence outside the
+        reference's design envelope, not a crash (VERDICT r4 next #2)."""
+        self.saturation_drops[pool] += 1
+        if self.saturation_drops[pool] == 1:
+            cap = {"keyframes": self.cfg.map.max_keyframes,
+                   "points": self.cfg.map.max_points,
+                   "texts": self.cfg.map.max_texts}[pool]
+            print(f"[map] {pool} pool saturated (cap {cap}) — further "
+                  f"{pool} are dropped and counted "
+                  f"(SlamMap.saturation_drops)")
+        return -1
+
     # ---------------- keyframes ----------------
 
     def add_keyframe(self, kf: Keyframe, pose: np.ndarray) -> int:
         kid = len(self.keyframes)
         if kid >= self.cfg.map.max_keyframes:
-            raise RuntimeError("keyframe pool exhausted")
+            return self._saturate("keyframes")
         kf.kid = kid
         self.keyframes.append(kf)
         self.kf_pose[kid] = pose
@@ -249,7 +272,7 @@ class SlamMap:
     def add_point(self, host_kid: int, ray: np.ndarray, rho: float, desc: np.ndarray) -> int:
         pid = self.n_points
         if pid >= self.cfg.map.max_points:
-            raise RuntimeError("point pool exhausted")
+            return self._saturate("points")
         self.pt_host[pid] = host_kid
         self.pt_ray[pid] = ray
         self.pt_rho[pid] = rho
@@ -340,7 +363,7 @@ class SlamMap:
     def add_text(self, host_kid: int, theta, quad, string: str, score: float, lang: int, state=TEXT_IMMATURE) -> int:
         tid = self.n_texts
         if tid >= self.cfg.map.max_texts:
-            raise RuntimeError("text pool exhausted")
+            return self._saturate("texts")
         self.tx_host[tid] = host_kid
         self.tx_theta[tid] = theta
         self.tx_state[tid] = state
