@@ -68,17 +68,25 @@ def main():
 
     def run():
         state = ba.solve_ba(problem, n_iters=n_iters, text_pair_feat=64)
-        state.poses.block_until_ready()
+        jax.block_until_ready(state)  # every leaf, not just poses
         return state
 
     # warmup/compile
     run()
-    # timed steady state
+    # timed steady state; per-rep wall times go to stderr so an anomalous
+    # aggregate (tunnel hiccup, async short-circuit) is diagnosable
+    import sys
+
     reps = 5
+    rep_times = []
     t0 = time.perf_counter()
     for _ in range(reps):
+        t1 = time.perf_counter()
         run()
+        rep_times.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
+    print(f"[bench] per-rep solve s: {[round(t, 4) for t in rep_times]}",
+          file=sys.stderr)
     iters_per_sec = reps * n_iters / dt
 
     ref = reference_iters_per_sec()

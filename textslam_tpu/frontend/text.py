@@ -879,6 +879,17 @@ class TextFrontend:
         # EVERY frame (TrackNewTextFeat, :453,1752-1785), consumed at the
         # next KF to triangulate + solve theta (InitialTextObjs, :1631-1734)
         self._klt = None
+        # device cache of the APPEND-ONLY per-object pools (box pixels +
+        # reference features): they mutate only in _extract_reference and
+        # checkpoint load, yet were re-uploaded EVERY frame by the gate
+        # programs — ~13 MB/frame at a 512-object pool through the tunnel,
+        # a linear-in-pool-size per-frame tax (found by the 1,000-frame
+        # rehearsal's growing frame times)
+        self._pool_version = 0
+        self._pool_dev_cache = None  # ((version, Tt), arrays tuple)
+        # host visibility row of the LAST tracked frame: pre-filters the
+        # per-frame IMMATURE maturation batch (see dispatch_immature)
+        self._last_geo = None
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -892,6 +903,45 @@ class TextFrontend:
 
     def _kf_has_pyr(self, kid: int) -> bool:
         return self.map.keyframes[kid].pyr_shapes is not None
+
+    def _pool_dev(self, Tt: int):
+        """Device copies of the append-only pools at tier Tt, re-uploaded
+        only when an object was created/extracted (or a checkpoint loaded):
+        (box_uv [Tt,B,2], box_int [Tt,B], box_valid [Tt,B],
+        feat_uv [Tt,L,F,2], feat_ref [Tt,L,F,8], feat_valid [Tt,L,F])."""
+        key = (self._pool_version, Tt)
+        if self._pool_dev_cache is None:
+            self._pool_dev_cache = {}
+        if key in self._pool_dev_cache:
+            return self._pool_dev_cache[key]
+        m = self.map
+        B = self.tx_box_uv.shape[1]
+        L = self.n_levels
+        F = self.cfg.text.max_features_per_level
+        n = min(m.n_texts, Tt)
+        box_uv = np.zeros((Tt, B, 2), np.float32)
+        box_int = np.zeros((Tt, B), np.float32)
+        box_valid = np.zeros((Tt, B), bool)
+        feat_uv = np.zeros((Tt, L, F, 2), np.float32)
+        feat_ref = np.zeros((Tt, L, F, 8), np.float32)
+        feat_valid = np.zeros((Tt, L, F), bool)
+        box_uv[:n] = self.tx_box_uv[:n]
+        box_int[:n] = self.tx_box_int[:n]
+        box_valid[:n] = self.tx_box_valid[:n]
+        feat_uv[:n] = m.tx_feat_uv[:n]
+        feat_ref[:n] = m.tx_feat_ref[:n]
+        feat_valid[:n] = m.tx_feat_valid[:n]
+        arrs = tuple(jnp.asarray(a) for a in
+                     (box_uv, box_int, box_valid, feat_uv, feat_ref,
+                      feat_valid))
+        # stale versions evict; at most the two live tiers stay resident
+        for k in [k for k in self._pool_dev_cache
+                  if k[0] != self._pool_version]:
+            del self._pool_dev_cache[k]
+        while len(self._pool_dev_cache) > 1:
+            self._pool_dev_cache.pop(next(iter(self._pool_dev_cache)))
+        self._pool_dev_cache[key] = arrs
+        return arrs
 
     # ------------------------------------------------------------------
     # creation
@@ -1220,6 +1270,7 @@ class TextFrontend:
         self.tx_box_uv[tid] = box_uv
         self.tx_box_int[tid] = box_int
         self.tx_box_valid[tid] = box_valid
+        self._pool_version += 1  # invalidate the device pool cache
 
     # ------------------------------------------------------------------
     # geometry helpers
@@ -1264,13 +1315,12 @@ class TextFrontend:
             img0 = fdev[0, :h, :w, 0]
         else:
             img0 = jnp.zeros((8, 8), jnp.float32)
+        box_uv, box_int, box_valid = self._pool_dev(Tt)[:3]
         geo, full, sc = _gates_kernel(
             jnp.asarray(pose_cw.astype(np.float32)),
             jnp.asarray(quads), jnp.asarray(thetas), jnp.asarray(hposes),
             jnp.asarray(live),
-            jnp.asarray(self.tx_box_uv[:Tt] if Tt <= self.tx_box_uv.shape[0] else np.zeros((Tt, self.B, 2), np.float32)),
-            jnp.asarray(self.tx_box_int[:Tt] if Tt <= self.tx_box_int.shape[0] else np.zeros((Tt, self.B), np.float32)),
-            jnp.asarray(self.tx_box_valid[:Tt] if Tt <= self.tx_box_valid.shape[0] else np.zeros((Tt, self.B), bool)),
+            box_uv, box_int, box_valid,
             img0,
             cam.fx, cam.fy, cam.cx, cam.cy,
             self.cfg.text.in_image_margin,
@@ -1695,6 +1745,7 @@ class TextFrontend:
                 full = out[1, : m.n_texts] > 0.5
                 pose = out[2, :7].astype(np.float32)
                 self.last_text_rows = int(out[2, 7])
+                self._last_geo = geo  # feeds the next frame's IMMATURE filter
             m.tx_good_obs[: len(geo)][geo & full] += 1
             m.tx_bad_obs[: len(geo)][geo & ~full] += 1
             with phase("track.immature"):
@@ -1703,6 +1754,7 @@ class TextFrontend:
         # gate-only fallback path (no pyramid / empty pool)
         # counters: good when all gates pass; bad only when geometrically
         # visible but failing the appearance (ZNCC) gate
+        self._last_geo = geo
         m.tx_good_obs[: len(geo)][geo & full] += 1
         m.tx_bad_obs[: len(geo)][geo & ~full] += 1
 
@@ -1810,15 +1862,6 @@ class TextFrontend:
             live[: m.n_texts] &= self.pool_mask_hook(m.n_texts)
         good_state[: m.n_texts] = m.tx_state[: m.n_texts] == TEXT_GOOD
 
-        L = self.n_levels
-        F = self.cfg.text.max_features_per_level
-        feat_uv = np.zeros((Tt, L, F, 2), np.float32)
-        feat_ref = np.zeros((Tt, L, F, 8), np.float32)
-        feat_valid = np.zeros((Tt, L, F), bool)
-        feat_uv[: m.n_texts] = m.tx_feat_uv[: m.n_texts]
-        feat_ref[: m.n_texts] = m.tx_feat_ref[: m.n_texts]
-        feat_valid[: m.n_texts] = m.tx_feat_valid[: m.n_texts]
-
         fdev = (frame.pyr_dev if frame.pyr_dev is not None
                 else jnp.asarray(frame.pyr_data))
         h0, w0 = int(frame.pyr_shapes[0][0]), int(frame.pyr_shapes[0][1])
@@ -1828,20 +1871,16 @@ class TextFrontend:
                  : int(frame.pyr_shapes[l][1]), :3]
             for l in self.levels
         )
-        B = self.tx_box_uv.shape[1]
-        box_uv = np.zeros((Tt, B, 2), np.float32)
-        box_int = np.zeros((Tt, B), np.float32)
-        box_valid = np.zeros((Tt, B), bool)
-        nbu = min(Tt, self.tx_box_uv.shape[0])
-        box_uv[:nbu] = self.tx_box_uv[:nbu]
-        box_int[:nbu] = self.tx_box_int[:nbu]
-        box_valid[:nbu] = self.tx_box_valid[:nbu]
+        # append-only pools come from the device cache (re-uploaded only
+        # when an object is created); the mutable per-frame rows above
+        # (quads/thetas/poses/flags, ~30 KB) still upload every frame
+        box_uv, box_int, box_valid, feat_uv, feat_ref, feat_valid = (
+            self._pool_dev(Tt))
         args = (
             jnp.asarray(quads), jnp.asarray(thetas), jnp.asarray(hposes),
             jnp.asarray(live), jnp.asarray(good_state),
-            jnp.asarray(box_uv), jnp.asarray(box_int), jnp.asarray(box_valid),
-            jnp.asarray(feat_uv), jnp.asarray(feat_ref),
-            jnp.asarray(feat_valid),
+            box_uv, box_int, box_valid,
+            feat_uv, feat_ref, feat_valid,
             imgs_levels, img0,
         )
         return {"args": args, "R": max(Tt, 16)}
@@ -1951,8 +1990,17 @@ class TextFrontend:
         if (frame is None or frame.pyr_shapes is None
                 or (frame.pose is None and pose_dev is None)):
             return None
+        # Pre-filter by the LAST frame's host visibility row: building the
+        # batch for EVERY immature object makes the distinct-observer image
+        # stack grow with the map (the 1,000-frame rehearsal measured
+        # frame times tripling and a pyramid-upload storm by frame 300) —
+        # visibility changes slowly frame to frame, objects created since
+        # the last row are always included, and the CURRENT frame's device
+        # geo row (geo_dev) still masks the solve exactly.
+        lg = self._last_geo
         imm = [tid for tid in range(m.n_texts)
-               if m.tx_valid[tid] and m.tx_state[tid] == TEXT_IMMATURE]
+               if m.tx_valid[tid] and m.tx_state[tid] == TEXT_IMMATURE
+               and (lg is None or tid >= len(lg) or lg[tid])]
         if not imm:
             return None
         theta_old = m.tx_theta[np.asarray(imm, np.int64)].copy()

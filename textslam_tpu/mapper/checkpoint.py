@@ -238,6 +238,7 @@ def load(path: str, cfg, tracker=None, text_frontend=None) -> SlamMap:
         text_frontend.tx_box_valid = z["tf_box_valid"].copy()
         text_frontend.tx_host_stats = z["tf_host_stats"].copy()
         text_frontend.map = m
+        text_frontend._pool_version += 1  # invalidate the device pool cache
         if "tf_key" in z:
             import jax.numpy as jnp
 
