@@ -155,6 +155,13 @@ class SolverConfig:
     iters_sim3: int = 20
     iters_pose_graph: int = 20
     ba_window: int = 20  # sliding window KF count (src/tracking.cc:828-842)
+    # per-KF residual budget for text PAIRS in the windowed BA (a pair =
+    # one (window KF, GOOD object) photometric observation block of F
+    # rows): text-dense maps otherwise grow the padded pair tier — and the
+    # whole fused-BA program — linearly in the live-object count. Budget
+    # keeps the longest-observed objects' pairs; drops are LOGGED
+    # (SURVEY "no silent caps"). 0 disables.
+    max_text_pairs_ba: int = 384
     # loop-time OptimizeLandmarker above this many KFs decomposes into the
     # rho-only solve (no-free-poses fast path) + the chunked per-object
     # theta pass (TextFrontend.landmark_theta_pass) instead of one joint
@@ -197,6 +204,14 @@ class TextConfig:
     # (UpdateSemantic_MapObjs_single + GetSgeo, src/tracking.cc:2362-2527)
     sem_weight_mean: float = 200.0
     sem_weight_view: float = 10.0
+    # per-frame IMMATURE maturation budget: at most this many visible
+    # IMMATURE objects refine per frame, round-robin across frames so every
+    # object still matures (NumObvs accumulates whenever processed; the
+    # reference's serial TextUpdate has the same linear-in-immature-count
+    # frame cost and its sequences never reach hundreds of immature
+    # objects). Logged when it binds; 0 disables. PARITY.md documents the
+    # deviation.
+    immature_budget_per_frame: int = 48
     # per-frame IMMATURE maturation (ThetaOptimMultiFs at frame cadence)
     # keeps at most this many observing KFs + the current frame per object;
     # the reference optimizes over ALL observing KFs
