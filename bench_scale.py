@@ -68,7 +68,10 @@ def main():
     from textslam_tpu.system import TextSLAM
 
     print(f"[scale] rendering {n_frames} frames ({kind})...", file=sys.stderr)
-    world = synth.TextWorld(seed=3, boxes_per_plane=4)
+    if kind == "ring":
+        world = synth.ring_world(seed=3)
+    else:
+        world = synth.TextWorld(seed=3, boxes_per_plane=4)
     poses = synth.camera_path(n_frames, kind)
     frames = [world.render(p) for p in poses]
     dets = [world.detections(p) for p in poses]

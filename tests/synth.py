@@ -47,9 +47,13 @@ class PlaneWorld:
                 (2.8, 6.0, (120, 420, 560, 980)),
                 (5.0, 9.0, (600, 950, 80, 560)),
             ]
-        self.planes = []  # (Z0, scale px/m, texture, mask)
+        self.planes = []  # (Z0, scale px/m, texture, mask, (x_off, y_off))
         for i, spec in enumerate(planes):
-            z0, scale, region = spec
+            # optional 4th element: world-frame (x, y) offset of the texture
+            # center — lets worlds tile wall segments along a path so that
+            # segments genuinely leave the frustum (loop-closure fixtures)
+            z0, scale, region = spec[:3]
+            off = np.asarray(spec[3], np.float64) if len(spec) > 3 else np.zeros(2)
             tex = make_texture(rng)
             if region is None:
                 mask = np.ones_like(tex)
@@ -57,7 +61,7 @@ class PlaneWorld:
                 mask = np.zeros_like(tex)
                 y0, y1, x0, x1 = region
                 mask[y0:y1, x0:x1] = 1.0
-            self.planes.append((z0, scale * 40.0, tex, mask))
+            self.planes.append((z0, scale * 40.0, tex, mask, off))
 
     def render(self, pose_cw: np.ndarray, K_mat=None, size=None) -> np.ndarray:
         """Render the world for camera pose Tcw [7] (wxyz + t).
@@ -72,10 +76,11 @@ class PlaneWorld:
         img = np.zeros((Hc, Wc), np.float32)
         alpha = np.zeros((Hc, Wc), np.float32)
         # paint far-to-near so nearer planes occlude correctly
-        for z0, s, tex, mask in sorted(self.planes, key=lambda p: -p[0]):
+        for z0, s, tex, mask, off in sorted(self.planes, key=lambda p: -p[0]):
             th, tw = tex.shape
             r1, r2, r3 = R[:, 0], R[:, 1], R[:, 2]
-            col3 = r3 * z0 + t - r1 * tw / (2 * s) - r2 * th / (2 * s)
+            col3 = (r3 * z0 + t + r1 * (off[0] - tw / (2 * s))
+                    + r2 * (off[1] - th / (2 * s)))
             Hm = Km @ np.stack([r1 / s, r2 / s, col3], axis=1)
             warped = cv2.warpPerspective(tex, Hm, (Wc, Hc), flags=cv2.INTER_LINEAR)
             wmask = cv2.warpPerspective(mask, Hm, (Wc, Hc), flags=cv2.INTER_NEAREST)
@@ -112,7 +117,7 @@ class TextWorld(PlaneWorld):
         rng = np.random.default_rng(seed + 100)
         self.boxes = []  # (plane_idx, tex rect corners [4,2], string)
         si = 0
-        for pi, (z0, s, tex, mask) in enumerate(self.planes):
+        for pi, (z0, s, tex, mask, off) in enumerate(self.planes):
             ys, xs = np.nonzero(mask)
             if len(ys) == 0:
                 continue
@@ -141,10 +146,10 @@ class TextWorld(PlaneWorld):
         R = np.array(qto_matrix(jnp.asarray(q)))
         dets = []
         for pi, quad_tex, string in self.boxes:
-            z0, s, tex, mask = self.planes[pi]
+            z0, s, tex, mask, off = self.planes[pi]
             th, tw = tex.shape
-            X = (quad_tex[:, 0] - tw / 2) / s
-            Y = (quad_tex[:, 1] - th / 2) / s
+            X = (quad_tex[:, 0] - tw / 2) / s + off[0]
+            Y = (quad_tex[:, 1] - th / 2) / s + off[1]
             P_w = np.stack([X, Y, np.full(4, z0)], -1)
             pc = P_w @ R.T + t
             if (pc[:, 2] <= 0.1).any():
@@ -155,6 +160,34 @@ class TextWorld(PlaneWorld):
                 continue
             dets.append(TextDetection(quad=uv.astype(np.float32), text=string, score=0.9))
         return dets
+
+
+RING_SEGMENTS = 12          # wall segments around the circuit
+RING_SPACING = 1.0          # metres between segment centers along the ring
+RING_RADIUS = RING_SEGMENTS * RING_SPACING / (2 * np.pi)
+RING_LAPS = 1.15            # loop-closure fixtures revisit the first ~15%
+
+
+def ring_world(seed=0, n_segments=RING_SEGMENTS, boxes_per_plane=3):
+    """A circuit of wall segments tiled around a ring in the x-y plane.
+
+    Unlike the default 4-plane world (whose planes never leave the frustum,
+    so every KF pair stays covisible and the loop gate — correctly — rejects
+    every candidate), each ring segment is only visible from a ~±2 m arc of
+    the path: by mid-lap the starting walls are physically out of view, the
+    covisible graph breaks, and a revisit on lap 2 must re-triangulate
+    duplicate points/texts — the exact precondition for semantic loop
+    closure (src/loopClosing.cc:119-304) at scale."""
+    R = n_segments * RING_SPACING / (2 * np.pi)
+    planes = []
+    for i in range(n_segments):
+        phi = 2 * np.pi * i / n_segments
+        x, y = R * np.sin(phi), R * (1 - np.cos(phi))
+        depth = 1.8 if i % 2 == 0 else 2.6
+        # scale 12.5 -> 500 px/m: each 1024-px texture spans 2.05 m, so
+        # same-depth segments (2 m apart) barely overlap
+        planes.append((depth, 12.5, None, (x, y)))
+    return TextWorld(seed=seed, planes=planes, boxes_per_plane=boxes_per_plane)
 
 
 def camera_path(n_frames: int, kind="lateral"):
@@ -179,6 +212,14 @@ def camera_path(n_frames: int, kind="lateral"):
             u = 2 * v if v <= 0.5 else 2 * (1 - v)
             t_wc = np.array([1.0 * u, 0.05 * np.sin(np.pi * u), 0.15 * u])
             w = np.array([0.0, -0.2 * u, 0.0])
+        elif kind == "ring":
+            # one-and-a-bit laps around the ring_world circuit, translation
+            # only (walls are fronto-parallel, so the camera keeps identity
+            # orientation and tracks by pure lateral parallax)
+            phi = 2 * np.pi * RING_LAPS * s
+            t_wc = np.array([RING_RADIUS * np.sin(phi),
+                             RING_RADIUS * (1 - np.cos(phi)), 0.0])
+            w = np.zeros(3)
         else:
             raise ValueError(kind)
         q = np.array(qexp(jnp.asarray(w)))

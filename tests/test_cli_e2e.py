@@ -48,10 +48,11 @@ def render_distorted(world, pose_cw) -> np.ndarray:
     q, t = pose_cw[:4], pose_cw[4:]
     R = np.array(qto_matrix(jnp.asarray(q)))
     img = np.zeros((synth.H, synth.W), np.float32)
-    for z0, s, tex, mask in sorted(world.planes, key=lambda p: -p[0]):
+    for z0, s, tex, mask, off in sorted(world.planes, key=lambda p: -p[0]):
         th, tw = tex.shape
         r1, r2, r3 = R[:, 0], R[:, 1], R[:, 2]
-        col3 = r3 * z0 + t - r1 * tw / (2 * s) - r2 * th / (2 * s)
+        col3 = (r3 * z0 + t + r1 * (off[0] - tw / (2 * s))
+                + r2 * (off[1] - th / (2 * s)))
         Hm = synth.K @ np.stack([r1 / s, r2 / s, col3], axis=1)
         tc = _UND_H @ np.linalg.inv(Hm).T  # [H, W, 3] texture homogeneous
         # plain projective divide — identical to warpPerspective's WARP_INVERSE
