@@ -70,11 +70,29 @@ def main():
     print(f"[scale] rendering {n_frames} frames ({kind})...", file=sys.stderr)
     if kind == "ring":
         world = synth.ring_world(seed=3)
+        path_kind = "ring"
+    elif kind == "ring_drift":
+        # engineered-drift loop fixture: smaller text boxes (the seam
+        # re-association threshold drops to ~10 cm at 1.8 m depth) + a
+        # degraded mid-lap stretch (detections dropped, frames darkened/
+        # blurred/noised) so the revisit carries REAL accumulated drift
+        world = synth.ring_world(seed=3, box_px=((80, 130), (50, 80)))
+        path_kind = "ring"
     else:
         world = synth.TextWorld(seed=3, boxes_per_plane=4)
-    poses = synth.camera_path(n_frames, kind)
+        path_kind = kind
+    poses = synth.camera_path(n_frames, path_kind)
     frames = [world.render(p) for p in poses]
     dets = [world.detections(p) for p in poses]
+    if kind == "ring_drift":
+        g = synth.degrade_schedule(n_frames)
+        rng = np.random.default_rng(9)
+        frames = [synth.degrade_frame(f, rng, float(gi))
+                  for f, gi in zip(frames, g)]
+        dets = [d if gi < 0.3 else [] for d, gi in zip(dets, g)]
+        n_deg = int((g > 0).sum())
+        print(f"[scale] degraded stretch: {n_deg} frames "
+              f"(dets dropped on {int((g >= 0.3).sum())})", file=sys.stderr)
 
     cfg = TextSLAMConfig(
         no_text=False,
@@ -116,6 +134,11 @@ def main():
             }
             snapshots.append(snap)
             print(f"[scale] {snap}", file=sys.stderr)
+            # per-window phase table: attributes any steady-median growth to
+            # a specific pipeline stage (reset so each window stands alone)
+            from textslam_tpu.utils.profiling import report as phase_report
+
+            print(phase_report(reset=True), file=sys.stderr)
             window = []
     wall = time.perf_counter() - t_start
 
@@ -123,6 +146,37 @@ def main():
     ts = [t for t, _ in traj]
     est = np.stack([p for _, p in traj])
     ate = synth.ate_rmse(ts, est, poses)
+
+    # drift accounting for the loop fixtures: align the FIRST clean stretch
+    # of the estimate to GT, then measure the positional error just before
+    # the seam (accumulated drift the revisit must overcome) and at the end
+    # (small again iff re-association or a loop closure repaired it)
+    def _aligned_err_at(frac: float) -> float:
+        from textslam_tpu.geometry import sim3 as _s3
+        from textslam_tpu.geometry import se3 as _se3
+        import jax.numpy as jnp
+        n_fit = min(80, len(est) // 3)
+        estC = np.array(_se3.apply(_se3.inverse(jnp.asarray(est)),
+                                   jnp.zeros((len(est), 3))))
+        gt_idx = [int(round(t)) for t in ts]
+        gtC = np.array(_se3.apply(_se3.inverse(jnp.asarray(poses[gt_idx])),
+                                  jnp.zeros((len(gt_idx), 3))))
+        S = _s3.horn_alignment(jnp.asarray(gtC[:n_fit]),
+                               jnp.asarray(estC[:n_fit]))
+        al = np.array(_s3.apply(S, jnp.asarray(estC)))
+        i = min(int(frac * len(est)), len(est) - 1)
+        return float(np.linalg.norm(al[i] - gtC[i]))
+
+    drift_pre_seam = _aligned_err_at(0.82)
+    drift_final = _aligned_err_at(1.0)
+
+    # keyframe-trajectory ATE from the MAP's poses: unlike the online
+    # trajectory (recorded at track time, never rewritten), kf_pose reflects
+    # every loop correction and global pass — the reference's
+    # SaveKeyFrameTrajectoryTUM analog
+    kf_ts = [kf.timestamp for kf in m.keyframes]
+    kf_est = np.stack([m.kf_pose[kf.kid] for kf in m.keyframes])
+    kf_ate = synth.ate_rmse(kf_ts, kf_est, poses)
 
     # steady medians of the last vs the second 100-frame window: flatness
     # evidence (first window is compile/warmup)
@@ -134,6 +188,9 @@ def main():
         "backend": jax.default_backend(),
         "wall_s": round(wall, 1),
         "ate_rmse": round(ate, 4),
+        "drift_pre_seam_m": round(drift_pre_seam, 4),
+        "drift_final_m": round(drift_final, 4),
+        "kf_ate_rmse": round(kf_ate, 4),
         "kfs": len(m.keyframes),
         "kf_pool_cap": cfg.map.max_keyframes,
         "pts": int(m.n_points),

@@ -112,7 +112,8 @@ def plane_theta_in_cam(z0: float, pose_cw: np.ndarray) -> np.ndarray:
 class TextWorld(PlaneWorld):
     """PlaneWorld + rectangular text regions on the planes with strings."""
 
-    def __init__(self, seed=0, planes=None, boxes_per_plane=2):
+    def __init__(self, seed=0, planes=None, boxes_per_plane=2,
+                 box_px=((140, 220), (70, 110))):
         super().__init__(seed=seed, planes=planes)
         rng = np.random.default_rng(seed + 100)
         self.boxes = []  # (plane_idx, tex rect corners [4,2], string)
@@ -123,8 +124,8 @@ class TextWorld(PlaneWorld):
                 continue
             y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
             for b in range(boxes_per_plane):
-                bw = int(rng.uniform(140, 220))
-                bh = int(rng.uniform(70, 110))
+                bw = int(rng.uniform(*box_px[0]))
+                bh = int(rng.uniform(*box_px[1]))
                 if x1 - x0 < bw + 40 or y1 - y0 < bh + 40:
                     continue
                 bx = int(rng.uniform(x0 + 20, x1 - bw - 20))
@@ -168,7 +169,38 @@ RING_RADIUS = RING_SEGMENTS * RING_SPACING / (2 * np.pi)
 RING_LAPS = 1.15            # loop-closure fixtures revisit the first ~15%
 
 
-def ring_world(seed=0, n_segments=RING_SEGMENTS, boxes_per_plane=3):
+def degrade_frame(img, rng, g, darken=0.65, noise=12.0, blur=1.5):
+    """Photometric degradation at strength g in [0, 1].
+
+    Models an underexposed, motion-blurred stretch (a tunnel run): darkening,
+    Gaussian blur, and sensor noise all scale with g. Used by the
+    engineered-drift loop fixtures — degraded wall handoffs carry fewer,
+    noisier correspondences, so the monocular pose/scale estimate genuinely
+    drifts (the reference's loop closure exists to repair exactly this,
+    src/loopClosing.cc:119-304)."""
+    if g <= 0:
+        return img
+    out = img * (1.0 - darken * g)
+    s = float(blur * g)
+    if s > 0.05:
+        k = int(2 * round(2 * s) + 1)
+        out = cv2.GaussianBlur(out, (k, k), s)
+    out = out + rng.normal(0.0, noise * g, out.shape)
+    return np.clip(out, 0, 255).astype(np.float32)
+
+
+def degrade_schedule(n_frames, f0=0.22, f1=0.72, ramp=0.05):
+    """Per-frame degradation strength: 0 outside [f0, f1] (fractions of the
+    sequence), cosine-ramped over `ramp` at both edges so tracking never sees
+    a discontinuity."""
+    s = np.linspace(0.0, 1.0, n_frames)
+    up = np.clip((s - f0) / ramp, 0.0, 1.0)
+    down = np.clip((f1 - s) / ramp, 0.0, 1.0)
+    return (0.5 - 0.5 * np.cos(np.pi * np.minimum(up, down))).astype(np.float32)
+
+
+def ring_world(seed=0, n_segments=RING_SEGMENTS, boxes_per_plane=3,
+               box_px=((140, 220), (70, 110))):
     """A circuit of wall segments tiled around a ring in the x-y plane.
 
     Unlike the default 4-plane world (whose planes never leave the frustum,
@@ -187,7 +219,8 @@ def ring_world(seed=0, n_segments=RING_SEGMENTS, boxes_per_plane=3):
         # scale 12.5 -> 500 px/m: each 1024-px texture spans 2.05 m, so
         # same-depth segments (2 m apart) barely overlap
         planes.append((depth, 12.5, None, (x, y)))
-    return TextWorld(seed=seed, planes=planes, boxes_per_plane=boxes_per_plane)
+    return TextWorld(seed=seed, planes=planes, boxes_per_plane=boxes_per_plane,
+                     box_px=box_px)
 
 
 def camera_path(n_frames: int, kind="lateral"):
