@@ -147,7 +147,7 @@ def e2e_extra():
     try:
         r = subprocess.run(
             ["python", os.path.join(_HERE, "bench_e2e.py"), "12"],
-            capture_output=True, timeout=480, text=True)
+            capture_output=True, timeout=720, text=True)
         line = r.stdout.strip().splitlines()[-1]
         d = json.loads(line)
         return {"e2e_frames_per_sec": d["value"], "e2e_ate_rmse": d.get("ate_rmse"),

@@ -56,6 +56,12 @@ def main():
 
     import jax
 
+    # NOTE: the axon sitecustomize overrides the JAX_PLATFORMS env var; a
+    # CPU A/B run (RSS attribution, gate debugging) must force the platform
+    # through jax.config exactly like tests/conftest.py does
+    if "--cpu" in sys.argv[1:]:
+        jax.config.update("jax_platforms", "cpu")
+
     here = os.path.dirname(os.path.abspath(__file__))
     from textslam_tpu.utils.cache import setup_compile_cache
 
@@ -131,6 +137,8 @@ def main():
                 if slam.loop_closer else 0,
                 "rss_mb": round(_host_rss_mb(), 0),
                 "dev_mb": round(_device_mb(), 0),
+                "map_host_mb": {k: round(v / 1e6, 0)
+                                for k, v in m.host_bytes().items()},
             }
             snapshots.append(snap)
             print(f"[scale] {snap}", file=sys.stderr)
