@@ -93,12 +93,27 @@ def main():
     if kind == "ring_drift":
         g = synth.degrade_schedule(n_frames)
         rng = np.random.default_rng(9)
-        frames = [synth.degrade_frame(f, rng, float(gi))
-                  for f, gi in zip(frames, g)]
+        # unmodeled focal ramp (thermal zoom): inside the detection-free
+        # zone the TRUE focal length drifts up to +5% while the pipeline
+        # keeps the nominal calibration — the classic systematic source of
+        # monocular scale drift that Sim3 loop closure exists to repair.
+        # Confined to g >= 0.3 so GT-projected detections (which use the
+        # nominal intrinsics) are never rendered inconsistently.
+        eps = 0.04 * np.clip((g - 0.3) / 0.7, 0.0, 1.0)
+        out = []
+        for f, p, gi, ei in zip(frames, poses, g, eps):
+            if ei > 0:
+                Km = synth.K.copy()
+                Km[0, 0] *= 1.0 + ei
+                Km[1, 1] *= 1.0 + ei
+                f = world.render(p, K_mat=Km)
+            out.append(synth.degrade_frame(f, rng, float(gi)))
+        frames = out
         dets = [d if gi < 0.3 else [] for d, gi in zip(dets, g)]
         n_deg = int((g > 0).sum())
         print(f"[scale] degraded stretch: {n_deg} frames "
-              f"(dets dropped on {int((g >= 0.3).sum())})", file=sys.stderr)
+              f"(dets dropped on {int((g >= 0.3).sum())}, "
+              f"peak focal ramp {eps.max():.3f})", file=sys.stderr)
 
     cfg = TextSLAMConfig(
         no_text=False,

@@ -169,7 +169,7 @@ RING_RADIUS = RING_SEGMENTS * RING_SPACING / (2 * np.pi)
 RING_LAPS = 1.15            # loop-closure fixtures revisit the first ~15%
 
 
-def degrade_frame(img, rng, g, darken=0.65, noise=12.0, blur=1.5):
+def degrade_frame(img, rng, g, darken=0.70, noise=13.0, blur=1.7):
     """Photometric degradation at strength g in [0, 1].
 
     Models an underexposed, motion-blurred stretch (a tunnel run): darkening,
@@ -189,7 +189,7 @@ def degrade_frame(img, rng, g, darken=0.65, noise=12.0, blur=1.5):
     return np.clip(out, 0, 255).astype(np.float32)
 
 
-def degrade_schedule(n_frames, f0=0.22, f1=0.72, ramp=0.05):
+def degrade_schedule(n_frames, f0=0.21, f1=0.74, ramp=0.05):
     """Per-frame degradation strength: 0 outside [f0, f1] (fractions of the
     sequence), cosine-ramped over `ramp` at both edges so tracking never sees
     a discontinuity."""

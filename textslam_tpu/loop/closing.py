@@ -70,6 +70,8 @@ class LoopCloser:
         candidates = self.detect(kid, min_words, connects)
         if not candidates:
             return False
+        print(f"[loop] kf {kid}: {len(candidates)} candidate(s) "
+              f"{candidates[:5]} (min_words={min_words})")
 
         # ComputeSim3 evaluates every candidate and keeps the best by
         # refined inlier count (src/loopClosing.cc:306-377)
@@ -85,15 +87,22 @@ class LoopCloser:
             if best is None or n_inl > best[2]:
                 best = (cand, S_cl, n_inl, n_scene, pairs)
         if best is None:
+            print(f"[loop] kf {kid}: no candidate passed Sim3")
             return False
         cand, S_cl, n_inl, n_scene, pairs = best
         # final accept: MaxInlierNum > 25, plus the outdoor scene gate
         # (src/loopClosing.cc:93-106)
         if n_inl <= lcfg.min_inliers:
+            print(f"[loop] kf {kid}: best cand {cand} rejected "
+                  f"(inliers {n_inl} <= {lcfg.min_inliers})")
             return False
         th_scene_acc = self.cfg.loop_th_max_inlier_scene
         if th_scene_acc > 0 and n_scene < th_scene_acc:
+            print(f"[loop] kf {kid}: best cand {cand} rejected "
+                  f"(scene inliers {n_scene} < {th_scene_acc})")
             return False
+        print(f"[loop] kf {kid}: ACCEPT loop to {cand} "
+              f"(inliers {n_inl}, scene {n_scene})")
         m.keyframes[kid].loop_edges.append(cand)
         m.keyframes[cand].loop_edges.append(kid)
         self.correct(kid, cand, S_cl, pairs)
